@@ -127,15 +127,22 @@ def test_parse_lines_tab():
 
 def test_extract_sentences_accepts_and_rejects():
     # Heuristic parser: needs trailing count digit, > 2 sentences.
+    # The trailing count line must satisfy the reference's text[-3:] digit
+    # heuristic (docs_sentence_extraction.py:21-24).
     good = (
         "0\tAlpha is a letter .\n"
         "1\tBeta follows alpha .\n"
         "2\tGamma -LRB- third -RRB- comes next .\n"
-        "3\tDelta ends the doc .\n4"
+        "3\tDelta ends the doc .\n 4"
     )
     doc = extract_sentences(good)
-    assert doc is not None and len(doc) == 4
-    assert '-LRB-' not in doc[2] and '-RRB-' not in doc[2]
+    # Reference output on this fixture:
+    assert doc == [
+        'Alpha is a letter.',
+        'Beta follows alpha.',
+        'Gamma  third  comes next.',
+        'Delta ends the doc.',
+    ]
 
     assert extract_sentences("no trailing digit") is None
     assert extract_sentences("0\tOne .\n1\tTwo .\n2") is None  # length <= 2
