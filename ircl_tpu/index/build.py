@@ -1,0 +1,190 @@
+"""Host-side sparse index build: text -> hashed-ngram CSR postings.
+
+The reference builds a (hash_size x num_docs) scipy CSR via a multiprocessing
+pool of tokenizer workers and COO assembly
+(``preprocessing/drqa/build_tfidf.py:86-126``). Here the build is a
+single-pass streaming loop (tokenize -> ngrams -> hash -> per-doc Counter)
+emitting term-major CSR arrays directly; duplicate merging happens per
+document (a Counter) so the global COO dedup the reference needs is
+unnecessary. The arrays are flat numpy, ready for ``jax.device_put`` into HBM.
+
+Feature semantics are bit-identical to the reference ``count`` function
+(``build_tfidf.py:64-83``): NFD-normalize, SimpleTokenizer, 1..n-grams
+uncased with ``filter_ngram``, murmur3 mod hash_size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ircl_tpu.corpus.filters import filter_ngram, normalize
+from ircl_tpu.corpus.hashing import hash_tokens
+from ircl_tpu.corpus.tokenizer import default_tokenizer
+
+DEFAULT_HASH_SIZE = 1 << 24
+DEFAULT_NGRAM = 2
+
+
+@dataclass
+class CountIndex:
+    """Term-major hashed-ngram postings (CSR over hash buckets).
+
+    Equivalent content to the reference's count matrix
+    (``build_tfidf.py:86-126``) in a layout chosen for device residency:
+    three flat arrays instead of a scipy object.
+    """
+
+    hash_size: int
+    ngram: int
+    doc_ids: List[str]  # position -> external doc id
+    indptr: np.ndarray  # [hash_size + 1] int64 offsets
+    post_docs: np.ndarray  # [nnz] int32 doc indices, ascending within a term
+    post_vals: np.ndarray  # [nnz] float32 counts (or tf-idf after transform)
+    doc_freqs: np.ndarray  # [hash_size] int32 number of docs per term
+    weighted: bool = False  # False: raw counts; True: tf-idf values
+
+    @property
+    def num_docs(self) -> int:
+        return len(self.doc_ids)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.post_docs.shape[0])
+
+    @property
+    def doc2idx(self) -> Dict[str, int]:
+        return {d: i for i, d in enumerate(self.doc_ids)}
+
+    def max_doc_freq(self) -> int:
+        return int(self.doc_freqs.max()) if self.nnz else 0
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        np.savez_compressed(
+            path,
+            hash_size=self.hash_size,
+            ngram=self.ngram,
+            indptr=self.indptr,
+            post_docs=self.post_docs,
+            post_vals=self.post_vals,
+            doc_freqs=self.doc_freqs,
+            weighted=self.weighted,
+            doc_ids=json.dumps(self.doc_ids),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CountIndex":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            hash_size=int(z["hash_size"]),
+            ngram=int(z["ngram"]),
+            doc_ids=json.loads(str(z["doc_ids"])),
+            indptr=z["indptr"],
+            post_docs=z["post_docs"],
+            post_vals=z["post_vals"],
+            doc_freqs=z["doc_freqs"],
+            weighted=bool(z["weighted"]),
+        )
+
+
+def doc_to_hashed_counts(
+    text: str, ngram: int, hash_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One document -> (unique hashed ngram buckets, counts)."""
+    tokens = default_tokenizer().tokenize(normalize(text))
+    grams = tokens.ngrams(n=ngram, uncased=True, filter_fn=filter_ngram)
+    if not grams:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+    hashed = hash_tokens(grams, hash_size)
+    buckets, counts = np.unique(hashed, return_counts=True)
+    return buckets.astype(np.int64), counts.astype(np.int32)
+
+
+def build_count_index(
+    store,
+    ngram: int = DEFAULT_NGRAM,
+    hash_size: int = DEFAULT_HASH_SIZE,
+    doc_ids: Optional[Sequence] = None,
+) -> CountIndex:
+    """Build the term-major postings index from a doc store.
+
+    ``store`` exposes ``get_doc_ids`` / ``get_doc_text`` (see corpus.store).
+    """
+    if doc_ids is None:
+        doc_ids = store.get_doc_ids()
+    doc_ids = list(doc_ids)
+
+    rows: List[np.ndarray] = []  # hashed buckets per doc
+    cols: List[np.ndarray] = []  # doc index per posting
+    vals: List[np.ndarray] = []
+    for di, doc_id in enumerate(doc_ids):
+        text = store.get_doc_text(doc_id)
+        if not text:
+            continue
+        buckets, counts = doc_to_hashed_counts(text, ngram, hash_size)
+        if buckets.size == 0:
+            continue
+        rows.append(buckets)
+        cols.append(np.full(buckets.shape, di, dtype=np.int32))
+        vals.append(counts)
+
+    if rows:
+        row = np.concatenate(rows)
+        col = np.concatenate(cols)
+        val = np.concatenate(vals)
+    else:
+        row = np.empty(0, dtype=np.int64)
+        col = np.empty(0, dtype=np.int32)
+        val = np.empty(0, dtype=np.int32)
+
+    return assemble_csr(row, col, val, hash_size, ngram, [str(d) for d in doc_ids])
+
+
+def assemble_csr(
+    row: np.ndarray,
+    col: np.ndarray,
+    val: np.ndarray,
+    hash_size: int,
+    ngram: int,
+    doc_ids: List[str],
+) -> CountIndex:
+    """COO (already deduped per doc) -> term-major CSR arrays."""
+    # Sort postings by (term bucket, doc index): term-major CSR with ascending
+    # doc ids inside each posting list.
+    order = np.lexsort((col, row))
+    row = row[order]
+    col = col[order]
+    val = val[order]
+
+    counts_per_bucket = np.bincount(row, minlength=hash_size)
+    indptr = np.zeros(hash_size + 1, dtype=np.int64)
+    np.cumsum(counts_per_bucket, out=indptr[1:])
+
+    doc_freqs = counts_per_bucket.astype(np.int32)  # one posting per (term, doc)
+
+    return CountIndex(
+        hash_size=hash_size,
+        ngram=ngram,
+        doc_ids=doc_ids,
+        indptr=indptr,
+        post_docs=col.astype(np.int32),
+        post_vals=val.astype(np.float32),
+        doc_freqs=doc_freqs,
+    )
+
+
+def to_scipy(index: CountIndex):
+    """CountIndex -> scipy CSR (hash_size x num_docs), for validation only."""
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (index.post_vals, index.post_docs, index.indptr),
+        shape=(index.hash_size, index.num_docs),
+    )
