@@ -1,0 +1,106 @@
+"""Two-stage evidence retrieval: sparse doc candidates -> sentence re-rank.
+
+The reference composes these stages only implicitly (candidate docs from the
+count matrix in ``src/evaluation.py:57-83``; dense sentence re-ranking left
+commented out at ``src/evaluation.py:105-116``). Here the composition is
+explicit and batch-first:
+
+  stage 1: ``TfidfRanker.closest_docs_batch`` -> top-k_docs doc ids per claim
+  stage 2: candidate sentences of those docs, scored by a pluggable
+           ``SentenceScorer`` (dense contrastive cosine once the encoder is
+           trained; a sparse tf-idf fallback otherwise) -> top-k_sents
+           (doc_id, sent_id) pairs per claim.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Protocol, Sequence, Tuple
+
+import numpy as np
+
+from ircl_tpu.index.ranker import TfidfRanker
+
+
+class SentenceScorer(Protocol):
+    def __call__(
+        self, claims: Sequence[str], candidates: Sequence[Sequence[str]]
+    ) -> List[np.ndarray]:
+        """Per claim, scores for its candidate sentence list."""
+        ...
+
+
+@dataclass
+class RetrievalResult:
+    doc_ids: List[List[str]]  # per claim, ranked top docs
+    doc_scores: List[np.ndarray]
+    sentences: List[List[Tuple[str, int]]]  # per claim, ranked (doc, sent_id)
+    sentence_scores: List[np.ndarray]
+
+
+def sparse_sentence_scorer(ranker_factory: Callable[[Sequence[str]], "object"]):
+    """Fallback stage-2 scorer: per-claim tf-idf over candidate sentences."""
+
+    def score(claims, candidates):
+        out = []
+        for claim, sents in zip(claims, candidates):
+            if not sents:
+                out.append(np.empty(0, dtype=np.float32))
+                continue
+            r = ranker_factory(sents)
+            out.append(r.dense_scores_batch([claim])[0])
+        return out
+
+    return score
+
+
+def retrieve(
+    claims: Sequence[str],
+    doc_ranker: TfidfRanker,
+    doc_sentences: Dict[str, List[str]],
+    sentence_scorer: SentenceScorer,
+    k_docs: int = 5,
+    k_sents: int = 5,
+    batch_size: int = 64,
+) -> RetrievalResult:
+    """Run the two-stage pipeline over a claim list."""
+    all_doc_ids: List[List[str]] = []
+    all_doc_scores: List[np.ndarray] = []
+    for i in range(0, len(claims), batch_size):
+        batch = list(claims[i : i + batch_size])
+        for ids, scores in doc_ranker.closest_docs_batch(batch, k=k_docs):
+            all_doc_ids.append(ids)
+            all_doc_scores.append(scores)
+
+    # Stage 2 candidates: all sentences of the retrieved docs.
+    cand_sents: List[List[str]] = []
+    cand_keys: List[List[Tuple[str, int]]] = []
+    for ids in all_doc_ids:
+        sents, keys = [], []
+        for d in ids:
+            for si, s in enumerate(doc_sentences.get(d, [])):
+                if s:
+                    sents.append(s)
+                    keys.append((d, si))
+        cand_sents.append(sents)
+        cand_keys.append(keys)
+
+    scores = sentence_scorer(claims, cand_sents)
+
+    top_sentences: List[List[Tuple[str, int]]] = []
+    top_scores: List[np.ndarray] = []
+    for keys, sc in zip(cand_keys, scores):
+        if len(keys) == 0:
+            top_sentences.append([])
+            top_scores.append(np.empty(0, dtype=np.float32))
+            continue
+        order = np.argsort(-sc)[:k_sents]
+        top_sentences.append([keys[j] for j in order])
+        top_scores.append(np.asarray(sc)[order])
+
+    return RetrievalResult(
+        doc_ids=all_doc_ids,
+        doc_scores=all_doc_scores,
+        sentences=top_sentences,
+        sentence_scores=top_scores,
+    )

@@ -1,0 +1,81 @@
+"""End-to-end pipeline tests on the synthetic FEVER-like corpus."""
+
+import numpy as np
+import pytest
+
+from ircl_tpu.corpus.fever import parse_lines_tab
+from ircl_tpu.corpus.store import MemoryDocStore
+from ircl_tpu.corpus.synthetic import generate
+from ircl_tpu.index.build import build_count_index
+from ircl_tpu.index.ranker import TfidfRanker
+from ircl_tpu.index.tfidf import tfidf_transform
+from ircl_tpu.pipeline.recall import doc_recall_at_k, sentence_recall_at_k
+from ircl_tpu.pipeline.retrieve import retrieve, sparse_sentence_scorer
+
+HASH_SIZE = 2**20
+
+
+@pytest.fixture(scope="module")
+def wiki():
+    return generate(num_docs=120, num_claims=60, seed=7)
+
+
+@pytest.fixture(scope="module")
+def ranker(wiki):
+    store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
+    index = build_count_index(store, ngram=2, hash_size=HASH_SIZE)
+    return TfidfRanker(tfidf_transform(index))
+
+
+def test_lines_roundtrip(wiki):
+    doc_id = next(iter(wiki.docs))
+    sents = parse_lines_tab(wiki.docs[doc_id]["lines"])
+    assert sents == wiki.sentences[doc_id]
+
+
+def test_doc_recall_on_synthetic(wiki, ranker):
+    claims = [c.claim for c in wiki.claims]
+    results = ranker.closest_docs_batch(claims, k=5)
+    retrieved = [ids for ids, _ in results]
+    recall = doc_recall_at_k(wiki.claims, retrieved, k=5)
+    # Synthetic claims share unique entity tokens with their gold doc; sparse
+    # retrieval should find nearly all of them.
+    assert recall >= 0.9, f"doc recall@5 too low: {recall}"
+
+
+def test_two_stage_pipeline_sentence_recall(wiki, ranker):
+    claims = [c.claim for c in wiki.claims]
+
+    def factory(sents):
+        store = MemoryDocStore(list(sents))
+        idx = build_count_index(store, ngram=2, hash_size=2**16)
+        return TfidfRanker(tfidf_transform(idx))
+
+    result = retrieve(
+        claims,
+        ranker,
+        wiki.sentences,
+        sparse_sentence_scorer(factory),
+        k_docs=5,
+        k_sents=5,
+    )
+    srecall = sentence_recall_at_k(wiki.claims, result.sentences, k=5)
+    assert srecall >= 0.75, f"sentence recall@5 too low: {srecall}"
+
+
+def test_recall_metric_unit():
+    from ircl_tpu.corpus.fever import Claim
+
+    claims = [
+        Claim(1, "c1", "SUPPORTS", {"DocA": [0, 2]}),
+        Claim(2, "c2", "SUPPORTS", {"DocB": [1], "DocC": [0]}),
+        Claim(3, "c3", "NOT ENOUGH INFO", {}),
+    ]
+    retrieved = [["DocX", "DocA"], ["DocC"], ["DocA"]]
+    # claim 3 has no evidence -> excluded from denominator
+    assert doc_recall_at_k(claims, retrieved, k=2) == 1.0
+    assert doc_recall_at_k(claims, retrieved, k=1) == 0.5
+    assert doc_recall_at_k(claims, retrieved, k=2, mode="full") == 0.5
+
+    sent_retrieved = [[("DocA", 2)], [("DocB", 0)], []]
+    assert sentence_recall_at_k(claims, sent_retrieved, k=5) == 0.5
