@@ -1,0 +1,143 @@
+"""Contrastive train-step tests: queue ring buffer, EMA, loss descent."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ircl_tpu.contrastive.state import TrainConfig, init_train_state
+from ircl_tpu.contrastive.train import make_embed_fn, make_train_step
+from ircl_tpu.models.encoder import EncoderConfig
+from ircl_tpu.models.featurizer import FeaturizerConfig, HashEmbedFeaturizer
+
+CFG = TrainConfig(
+    encoder=EncoderConfig(
+        input_size=32, hidden_size=16, output_size=8, num_layers=2
+    ),
+    temperature=0.05,
+    queue_size=16,
+    queue_start_steps=2,
+    micro_batch=4,
+    accum_steps=2,
+    learning_rate=1e-3,
+)
+
+FEAT = HashEmbedFeaturizer(
+    FeaturizerConfig(dim=32, max_len=8, vocab_buckets=1 << 12)
+)
+
+
+def _batch(rng, accum, micro, L=8):
+    """Anchor/positive pairs that share a distinctive token."""
+    texts_a, texts_k = [], []
+    for _ in range(accum * micro):
+        ent = f"tok{rng.integers(50)}"
+        texts_a.append(f"{ent} alpha beta gamma")
+        texts_k.append(f"delta {ent} epsilon")
+    ids_a, mask_a = FEAT.encode_host(texts_a)
+    ids_k, mask_k = FEAT.encode_host(texts_k)
+    shape = (accum, micro, L)
+    return (
+        jnp.asarray(ids_a.reshape(shape)),
+        jnp.asarray(mask_a.reshape(shape)),
+        jnp.asarray(ids_k.reshape(shape)),
+        jnp.asarray(mask_k.reshape(shape)),
+    )
+
+
+def test_train_step_updates_state_and_loss_decreases():
+    import dataclasses
+
+    # Queue activation adds negatives and lifts the loss mid-run; use a
+    # config whose queue never activates for the monotonicity check.
+    cfg = dataclasses.replace(CFG, queue_start_steps=10_000)
+    rng = np.random.default_rng(0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, FEAT)
+
+    p0 = jax.tree.leaves(state.params_q)[0].copy()
+    k0 = jax.tree.leaves(state.params_k)[0].copy()
+
+    losses = []
+    batch = _batch(rng, CFG.accum_steps, CFG.micro_batch)
+    for i in range(30):
+        state, loss, grad_norm = step(state, *batch)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(grad_norm))
+
+    assert int(state.step) == 30
+    # Queue ptr advanced: 30 steps x 2 micro x 4 keys = 240 % 16 = 0; check a
+    # mid-run modulus instead by stepping once more.
+    state, _, _ = step(state, *batch)
+    assert int(state.queue_ptr) == (31 * 2 * 4) % CFG.queue_size
+
+    p1 = jax.tree.leaves(state.params_q)[0]
+    k1 = jax.tree.leaves(state.params_k)[0]
+    assert not np.allclose(p0, p1)  # query encoder trained
+    assert not np.allclose(k0, k1)  # EMA moved
+    assert not np.allclose(p1, k1)  # but not equal to query encoder
+
+    # Optimization makes progress on the fixed batch.
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_queue_activation_raises_loss():
+    """At queue_start_steps the loss gains queue negatives and jumps up
+    (mirrors reference behavior flipping add_queue_to_loss,
+    src/train.py:124-130)."""
+    rng = np.random.default_rng(4)
+    state = init_train_state(jax.random.PRNGKey(4), CFG)
+    step = make_train_step(CFG, FEAT)
+    batch = _batch(rng, CFG.accum_steps, CFG.micro_batch)
+    losses = []
+    for _ in range(4):
+        state, loss, _ = step(state, *batch)
+        losses.append(float(loss))
+    # steps 0,1 run without queue; steps 2,3 with queue negatives.
+    assert min(losses[2:]) > max(losses[:2])
+
+
+def test_queue_contains_recent_keys():
+    rng = np.random.default_rng(1)
+    state = init_train_state(jax.random.PRNGKey(1), CFG)
+    step = make_train_step(CFG, FEAT)
+    embed = make_embed_fn(CFG, FEAT)
+
+    batch = _batch(rng, CFG.accum_steps, CFG.micro_batch)
+    state, _, _ = step(state, *batch)
+    # After one step the queue's first 8 columns are the normalized key
+    # embeddings of the two micro-batches, computed with the *pre-EMA* key
+    # params; verify column norms are 1 where written.
+    qnorms = np.linalg.norm(np.asarray(state.queue), axis=0)
+    np.testing.assert_allclose(qnorms[:8], 1.0, rtol=1e-5)
+
+
+def test_momentum_ema_formula():
+    rng = np.random.default_rng(2)
+    state = init_train_state(jax.random.PRNGKey(2), CFG)
+    step = make_train_step(CFG, FEAT)
+    batch = _batch(rng, CFG.accum_steps, CFG.micro_batch)
+
+    pk_before = jax.tree.map(np.asarray, state.params_k)
+    state2, _, _ = step(state, *batch)
+    pq_after = jax.tree.map(np.asarray, state2.params_q)
+    pk_after = jax.tree.map(np.asarray, state2.params_k)
+
+    def check(pk0, pq1, pk1):
+        np.testing.assert_allclose(
+            pk1, 0.9 * pk0 + 0.1 * pq1, rtol=1e-5, atol=1e-6
+        )
+
+    jax.tree.map(check, pk_before, pq_after, pk_after)
+
+
+def test_embed_fn_normalized():
+    state = init_train_state(jax.random.PRNGKey(3), CFG)
+    embed = make_embed_fn(CFG, FEAT)
+    ids, mask = FEAT.encode_host(["some text here", "another document"])
+    emb = embed(state.params_q, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-5
+    )
