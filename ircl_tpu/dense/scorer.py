@@ -1,0 +1,138 @@
+"""Exhaustive cosine top-k over a (possibly pod-sharded) embedding matrix.
+
+The reference's dense scoring is a commented-out per-batch cosine mean
+(``src/evaluation.py:105-116``) and an all-pairs sklearn cosine in
+preprocessing (``build_docs_sentence_similarity.py:41-68``). The TPU design
+is brute-force scoring as one MXU matmul:
+
+    scores = Q @ C^T        (embeddings are L2-normalized, so dot = cosine)
+
+followed by ``lax.top_k``. At pod scale the corpus axis is sharded over the
+mesh (`shard_map`): each chip scores its local rows, takes a local top-k,
+offsets local indices to global ids, and the (k scores, k ids) pairs —
+O(B*k) bytes — are all-gathered over ICI for the final merge. The full
+[B, M] score matrix never materializes globally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def cosine_topk(
+    queries: jnp.ndarray,  # [B, D] L2-normalized
+    corpus: jnp.ndarray,  # [M, D] L2-normalized
+    k: int,
+    block: int = 0,  # 0: single matmul; >0: scan over corpus blocks
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device exact top-k. Returns (scores [B,k], indices [B,k])."""
+    m = corpus.shape[0]
+    kk = min(k, m)
+    if block and m > block and m % block == 0:
+        # Streamed variant for corpora whose [B, M] score matrix pressures
+        # HBM: scan corpus blocks, carrying a running top-k merge.
+        nblk = m // block
+
+        def body(carry, blk_idx):
+            best_s, best_i = carry
+            rows = jax.lax.dynamic_slice_in_dim(corpus, blk_idx * block, block)
+            s = jnp.dot(
+                queries, rows.T, preferred_element_type=jnp.float32
+            )  # [B, block]
+            ids = blk_idx * block + jnp.arange(block, dtype=jnp.int32)
+            cat_s = jnp.concatenate([best_s, s], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(ids, s.shape)], axis=1
+            )
+            ns, nidx = jax.lax.top_k(cat_s, kk)
+            return (ns, jnp.take_along_axis(cat_i, nidx, axis=1)), None
+
+        init = (
+            jnp.full((queries.shape[0], kk), -jnp.inf, jnp.float32),
+            jnp.full((queries.shape[0], kk), -1, jnp.int32),
+        )
+        (scores, ids), _ = jax.lax.scan(
+            body, init, jnp.arange(nblk, dtype=jnp.int32)
+        )
+        return scores, ids
+
+    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    top_s, top_i = jax.lax.top_k(scores, kk)
+    return top_s, top_i.astype(jnp.int32)
+
+
+def shard_corpus(corpus: np.ndarray, mesh: Mesh, axis: str = "corpus"):
+    """Pad the corpus row count to a multiple of the mesh axis and place it
+    row-sharded. Padding rows are zero (cosine 0, never in top-k of real
+    queries)."""
+    n_shards = mesh.shape[axis]
+    m = corpus.shape[0]
+    padded = (m + n_shards - 1) // n_shards * n_shards
+    if padded != m:
+        corpus = np.concatenate(
+            [corpus, np.zeros((padded - m, corpus.shape[1]), corpus.dtype)]
+        )
+    sharding = NamedSharding(mesh, P(axis, None))
+    return jax.device_put(corpus, sharding), m
+
+
+def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus"):
+    """Build the jitted sharded scorer: local matmul + local top-k + ICI
+    all-gather merge."""
+
+    from jax import shard_map
+
+    def local_fn(queries, corpus_shard):
+        # queries replicated; corpus_shard: [M/n, D] local rows.
+        rows_per_shard = corpus_shard.shape[0]
+        my = jax.lax.axis_index(axis)
+        scores = jnp.dot(
+            queries, corpus_shard.T, preferred_element_type=jnp.float32
+        )
+        kk = min(k, rows_per_shard)
+        s, i = jax.lax.top_k(scores, kk)
+        gids = i.astype(jnp.int32) + my * rows_per_shard
+        # Merge across shards: gather the tiny (s, gids) and re-top-k.
+        all_s = jax.lax.all_gather(s, axis, axis=0)  # [n, B, kk]
+        all_i = jax.lax.all_gather(gids, axis, axis=0)
+        all_s = jnp.moveaxis(all_s, 0, 1).reshape(queries.shape[0], -1)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(queries.shape[0], -1)
+        ms, midx = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
+        mi = jnp.take_along_axis(all_i, midx, axis=1)
+        return ms, mi
+
+    # check_vma=False: outputs are replicated by construction (identical
+    # all_gather + top_k on every shard), which shard_map cannot infer.
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def sharded_cosine_topk(
+    queries: np.ndarray,
+    corpus: np.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "corpus",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Convenience wrapper: shard, score, merge; indices into original rows."""
+    corpus_sharded, true_m = shard_corpus(corpus, mesh, axis)
+    fn = make_sharded_topk(mesh, k, axis)
+    s, i = fn(jnp.asarray(queries), corpus_sharded)
+    s, i = np.asarray(s), np.asarray(i)
+    # Drop any padded rows that sneaked in (possible only when a query's true
+    # matches are fewer than k and scores tie at 0).
+    valid = i < true_m
+    return np.where(valid, s, -np.inf), np.where(valid, i, -1)

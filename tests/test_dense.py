@@ -1,0 +1,68 @@
+"""Dense scorer tests: exactness vs numpy, sharded merge on 8-dev CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ircl_tpu.dense.scorer import cosine_topk, sharded_cosine_topk
+from ircl_tpu.parallel.mesh import make_mesh
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    Q = _norm(rng.normal(size=(16, 32))).astype(np.float32)
+    C = _norm(rng.normal(size=(200, 32))).astype(np.float32)
+    return Q, C
+
+
+def test_cosine_topk_exact(data):
+    Q, C = data
+    s, i = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=7)
+    ref = Q @ C.T
+    for b in range(Q.shape[0]):
+        order = np.argsort(-ref[b])[:7]
+        np.testing.assert_allclose(
+            np.asarray(s)[b], np.sort(ref[b])[::-1][:7], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            ref[b][np.asarray(i)[b]], np.sort(ref[b])[::-1][:7], rtol=1e-5
+        )
+
+
+def test_cosine_topk_blocked_matches_unblocked(data):
+    Q, C = data
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    s1, i1 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5, block=50)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sharded_topk_matches_single_device(data):
+    Q, C = data
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(("corpus",))
+    s, i = sharded_cosine_topk(Q, C, k=5, mesh=mesh)
+    ref = Q @ C.T
+    for b in range(Q.shape[0]):
+        np.testing.assert_allclose(s[b], np.sort(ref[b])[::-1][:5], rtol=1e-5)
+        np.testing.assert_allclose(ref[b][i[b]], s[b], rtol=1e-5)
+
+
+def test_sharded_topk_with_ragged_corpus():
+    # corpus size not divisible by 8: padding rows must never be returned.
+    rng = np.random.default_rng(1)
+    Q = _norm(rng.normal(size=(4, 16))).astype(np.float32)
+    C = _norm(rng.normal(size=(13, 16))).astype(np.float32)
+    mesh = make_mesh(("corpus",))
+    s, i = sharded_cosine_topk(Q, C, k=5, mesh=mesh)
+    assert i.max() < 13
+    ref = Q @ C.T
+    for b in range(4):
+        np.testing.assert_allclose(s[b], np.sort(ref[b])[::-1][:5], rtol=1e-5)
