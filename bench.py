@@ -1,0 +1,141 @@
+"""Benchmark: batched sparse TF-IDF retrieval QPS on TPU vs reference CPU path.
+
+Measures the north-star serving metric (BASELINE.json: queries/sec per chip at
+equal index memory) on a synthetic FEVER-like corpus (no network egress for
+the real dump). The baseline is the reference's query pipeline re-run here on
+CPU: per-query scipy CSR matvec + argpartition top-k, exactly the
+``TfidfDocRanker.closest_docs`` algorithm
+(``preprocessing/drqa/retriever/tfidf_doc_ranker.py:60-75``). Top-5 doc sets
+are checked for parity (identical scores modulo ties) before timing counts.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": ratio}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: repeated bench runs skip XLA compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import scipy.sparse as sp
+
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.corpus.synthetic import generate
+    from ircl_tpu.index.build import build_count_index, to_scipy
+    from ircl_tpu.index.ranker import TfidfRanker, vectorize_queries
+    from ircl_tpu.index.tfidf import tfidf_transform
+
+    NUM_DOCS = 5000
+    NUM_CLAIMS = 512
+    HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
+    K = 5
+
+    t0 = time.time()
+    wiki = generate(num_docs=NUM_DOCS, num_claims=NUM_CLAIMS, seed=11)
+    claims = [c.claim for c in wiki.claims]
+    log(f"corpus generated in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
+    index = tfidf_transform(build_count_index(store, ngram=2, hash_size=HASH_SIZE))
+    log(
+        f"index built in {time.time()-t0:.1f}s: {index.num_docs} docs, "
+        f"{index.nnz} postings"
+    )
+
+    # ---- reference-style CPU baseline -------------------------------------
+    mat = to_scipy(index)  # (H x N) CSR
+    buckets, weights = vectorize_queries(
+        claims, HASH_SIZE, 2, index.doc_freqs, index.num_docs
+    )
+
+    def cpu_closest(b):
+        nz = weights[b] != 0
+        spvec = sp.csr_matrix(
+            (weights[b][nz], buckets[b][nz], [0, int(nz.sum())]),
+            shape=(1, HASH_SIZE),
+        )
+        res = spvec * mat
+        if len(res.data) <= K:
+            o = np.argsort(-res.data)
+        else:
+            o = np.argpartition(-res.data, K)[:K]
+            o = o[np.argsort(-res.data[o])]
+        return res.indices[o], res.data[o]
+
+    # time the CPU baseline on a subset, extrapolate QPS
+    n_cpu = min(128, NUM_CLAIMS)
+    t0 = time.time()
+    cpu_results = [cpu_closest(b) for b in range(n_cpu)]
+    cpu_qps = n_cpu / (time.time() - t0)
+    log(f"cpu baseline: {cpu_qps:.1f} q/s")
+
+    # ---- TPU path ---------------------------------------------------------
+    ranker = TfidfRanker(index)
+    # warmup / compile
+    t0 = time.time()
+    results = ranker.closest_docs_batch(claims, k=K)
+    log(f"tpu first batch (compile) in {time.time()-t0:.1f}s")
+
+    # parity check vs CPU baseline on the subset (scores equal up to fp)
+    doc2idx = {d: i for i, d in enumerate(index.doc_ids)}
+    mismatches = 0
+    for b in range(n_cpu):
+        ref_ids, ref_scores = cpu_results[b]
+        got_ids = np.array([doc2idx[d] for d in results[b][0]])
+        got_scores = results[b][1]
+        n = min(len(ref_ids), len(got_ids))
+        if not np.allclose(
+            np.sort(ref_scores[:n]), np.sort(got_scores[:n]), rtol=1e-4
+        ):
+            mismatches += 1
+    log(f"parity: {n_cpu - mismatches}/{n_cpu} queries match")
+    if mismatches:
+        raise SystemExit(f"top-k parity failed on {mismatches} queries")
+
+    # steady-state throughput: pipeline batches (async dispatch), block once.
+    import jax as _jax
+
+    reps = 20
+    t0 = time.time()
+    pending = [
+        ranker._closest_ell_async(claims, K)
+        if ranker.mode == "ell"
+        else ranker.closest_docs_batch(claims, k=K)
+        for _ in range(reps)
+    ]
+    if ranker.mode == "ell":
+        _jax.block_until_ready(pending)
+    dt = time.time() - t0
+    tpu_qps = reps * NUM_CLAIMS / dt
+    log(f"tpu steady-state: {tpu_qps:.1f} q/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "sparse_tfidf_retrieval_qps_per_chip",
+                "value": round(tpu_qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(tpu_qps / cpu_qps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,9 @@ def _enqueue(
     return queue, ptr
 
 
-def make_train_step(config: TrainConfig, featurizer):
-    """Build the jitted step.
+def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
+    """Build the train step (jitted unless ``jit=False`` — the raw body is
+    used by the DP wrapper, which applies its own jit with shardings).
 
     Inputs per call: ids/masks of shape [accum, micro, L] for anchor and
     positive views. Optional proto inputs (cluster ids per granularity for
@@ -77,7 +78,6 @@ def make_train_step(config: TrainConfig, featurizer):
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(
         state: TrainState,
         ids_a: jnp.ndarray,  # [A, B, L] int32
@@ -146,6 +146,8 @@ def make_train_step(config: TrainConfig, featurizer):
         )
         return new_state, loss_sum, grad_norm
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=0)
     return train_step
 
 

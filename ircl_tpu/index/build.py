@@ -112,11 +112,15 @@ def build_count_index(
     ngram: int = DEFAULT_NGRAM,
     hash_size: int = DEFAULT_HASH_SIZE,
     doc_ids: Optional[Sequence] = None,
+    chunk_docs: int = 8192,
 ) -> CountIndex:
     """Build the term-major postings index from a doc store.
 
     ``store`` exposes ``get_doc_ids`` / ``get_doc_text`` (see corpus.store).
+    Documents stream through the native batch vectorizer in chunks.
     """
+    from ircl_tpu.corpus.fastpath import batch_vectorize
+
     if doc_ids is None:
         doc_ids = store.get_doc_ids()
     doc_ids = list(doc_ids)
@@ -124,16 +128,17 @@ def build_count_index(
     rows: List[np.ndarray] = []  # hashed buckets per doc
     cols: List[np.ndarray] = []  # doc index per posting
     vals: List[np.ndarray] = []
-    for di, doc_id in enumerate(doc_ids):
-        text = store.get_doc_text(doc_id)
-        if not text:
-            continue
-        buckets, counts = doc_to_hashed_counts(text, ngram, hash_size)
-        if buckets.size == 0:
-            continue
-        rows.append(buckets)
-        cols.append(np.full(buckets.shape, di, dtype=np.int32))
-        vals.append(counts)
+    for lo in range(0, len(doc_ids), chunk_docs):
+        chunk_ids = doc_ids[lo : lo + chunk_docs]
+        texts = [store.get_doc_text(d) or "" for d in chunk_ids]
+        for off, (buckets, counts) in enumerate(
+            batch_vectorize(texts, hash_size, ngram)
+        ):
+            if buckets.size == 0:
+                continue
+            rows.append(buckets)
+            cols.append(np.full(buckets.shape, lo + off, dtype=np.int32))
+            vals.append(counts)
 
     if rows:
         row = np.concatenate(rows)

@@ -17,9 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ircl_tpu.corpus.filters import filter_ngram, normalize
-from ircl_tpu.corpus.hashing import hash_tokens
-from ircl_tpu.corpus.tokenizer import default_tokenizer
+from ircl_tpu.corpus.fastpath import batch_vectorize
 from ircl_tpu.index.build import CountIndex
 from ircl_tpu.index.tfidf import idf_vector
 from ircl_tpu.ops import ragged
@@ -33,6 +31,7 @@ def vectorize_queries(
     num_docs: int,
     max_terms: Optional[int] = None,
     binary_tf: bool = False,
+    idfs: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Queries -> padded (buckets [B, T], weights [B, T]).
 
@@ -42,24 +41,16 @@ def vectorize_queries(
     "BM25" ranker variant (``BM25_doc_ranker.py:110``: tf = 1 per present
     term). Empty queries produce all-zero rows (non-strict behavior).
     """
+    if idfs is None:
+        idfs = idf_vector(doc_freqs, num_docs)
     per_q: List[Tuple[np.ndarray, np.ndarray]] = []
-    idfs_cache = idf_vector(doc_freqs, num_docs)
-    for q in queries:
-        tokens = default_tokenizer().tokenize(normalize(q))
-        grams = tokens.ngrams(n=ngram, uncased=True, filter_fn=filter_ngram)
-        if not grams:
-            per_q.append(
-                (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
-            )
-            continue
-        wids = hash_tokens(grams, hash_size)
-        uniq, counts = np.unique(wids, return_counts=True)
+    for uniq, counts in batch_vectorize(queries, hash_size, ngram):
         tfs = (
             np.ones_like(counts, dtype=np.float32)
             if binary_tf
             else np.log1p(counts.astype(np.float32))
         )
-        weights = tfs * idfs_cache[uniq]
+        weights = tfs * idfs[uniq]
         per_q.append((uniq, weights.astype(np.float32)))
 
     T = max_terms or max((len(u) for u, _ in per_q), default=1) or 1
@@ -104,9 +95,27 @@ class DeviceIndex:
 
 
 class TfidfRanker:
-    """Batch top-k document ranking over a tf-idf weighted CountIndex."""
+    """Batch top-k document ranking over a tf-idf weighted CountIndex.
 
-    def __init__(self, index: CountIndex, device=None, binary_tf: bool = False):
+    Two exact device scoring engines, selected by ``mode``:
+
+    - ``"ell"`` (default for corpora that fit): doc-major membership-matmul
+      (``ops/membership``) — dense compare + MXU, no gather/scatter/sort.
+    - ``"ragged"``: term-major gather + sort + segment top-k (``ops/ragged``)
+      — posting-mass proportional, for corpora where U*N*K compare work
+      outgrows the gathered posting mass.
+    - ``"auto"``: ell for num_docs <= 200k, else ragged.
+    """
+
+    ELL_MAX_DOCS = 200_000
+
+    def __init__(
+        self,
+        index: CountIndex,
+        device=None,
+        binary_tf: bool = False,
+        mode: str = "auto",
+    ):
         if not index.weighted and not binary_tf:
             from ircl_tpu.index.tfidf import tfidf_transform
 
@@ -114,6 +123,30 @@ class TfidfRanker:
         self.dev = DeviceIndex.from_count_index(index, device)
         self.binary_tf = binary_tf
         self._max_df = index.max_doc_freq()
+        self._idfs = idf_vector(index.doc_freqs, index.num_docs)
+        if mode == "auto":
+            mode = "ell" if index.num_docs <= self.ELL_MAX_DOCS else "ragged"
+        self.mode = mode
+        self._ell_terms = self._ell_vals = None
+        self._ell_terms_t = self._ell_vals_t = None
+        if mode == "ell":
+            from ircl_tpu.index.ell import to_ell
+
+            ell = to_ell(index)
+            put = lambda x: jax.device_put(x, device)
+            self._ell_terms = put(ell.terms)
+            self._ell_vals = put(ell.vals)
+            # K-major, tile-padded copies for the fused Pallas scorer
+            # (dynamic k index must land on the sublane axis).
+            from ircl_tpu.ops.membership_pallas import pad_for_slab
+
+            tt, vt = pad_for_slab(
+                np.ascontiguousarray(ell.terms.T),
+                np.ascontiguousarray(ell.vals.T),
+                d_tile=256,
+            )
+            self._ell_terms_t = put(tt)
+            self._ell_vals_t = put(vt)
 
     def get_doc_id(self, doc_index: int) -> str:
         return self.dev.doc_ids[doc_index]
@@ -126,12 +159,73 @@ class TfidfRanker:
             self.dev.doc_freqs,
             self.dev.num_docs,
             binary_tf=self.binary_tf,
+            idfs=self._idfs,
         )
+
+    @staticmethod
+    def _pow2(n: int, floor: int = 16) -> int:
+        c = floor
+        while c < n:
+            c *= 2
+        return c
+
+    def _union_slots(
+        self, buckets: np.ndarray, weights: np.ndarray, floor: int = 16
+    ) -> np.ndarray:
+        """Sorted union of the batch's live buckets, sentinel-padded to a
+        power-of-two width (static-shape bucketing)."""
+        nz = weights != 0.0
+        u = np.unique(buckets[nz]) if nz.any() else np.empty(0, np.int64)
+        u_cap = self._pow2(max(len(u), 1), floor=floor)
+        sentinel = np.int32(min(self.dev.hash_size, 2**31 - 1))
+        u_pad = np.full(u_cap, sentinel, dtype=np.int32)
+        u_pad[: len(u)] = u.astype(np.int32)
+        return u_pad
+
+    def _closest_ell_async(self, queries: Sequence[str], k: int):
+        """Dispatch ELL scoring; returns device arrays (no sync). Callers can
+        pipeline batches and block once at the end."""
+        from ircl_tpu.ops.membership_pallas import (
+            membership_topk_fused,
+            pad_for_slab,
+        )
+
+        buckets, weights = self._vectorize(queries)
+        u_pad = self._union_slots(buckets, weights, floor=512)
+        qb_t, qw_t = pad_for_slab(
+            np.ascontiguousarray(buckets.T.astype(np.int32)),
+            np.ascontiguousarray(weights.T),
+            d_tile=128,
+        )
+        interpret = jax.default_backend() == "cpu"
+        return membership_topk_fused(
+            self._ell_terms_t,
+            self._ell_vals_t,
+            jnp.asarray(u_pad),
+            jnp.asarray(qb_t),
+            jnp.asarray(qw_t),
+            k=k,
+            num_real_docs=self.dev.num_docs,
+            interpret=interpret,
+        )
+
+    def _closest_ell(self, queries: Sequence[str], k: int):
+        scores, doc_idx = self._closest_ell_async(queries, k)
+        b = len(queries)
+        return np.asarray(scores)[:b], np.asarray(doc_idx)[:b]
 
     def closest_docs_batch(
         self, queries: Sequence[str], k: int = 5
     ) -> List[Tuple[List[str], np.ndarray]]:
         """Top-k (doc_ids, scores) per query. Exact w.r.t. the sparse matvec."""
+        if self.mode == "ell":
+            scores, doc_idx = self._closest_ell(queries, k)
+            out = []
+            for b in range(len(queries)):
+                keep = doc_idx[b] >= 0
+                ids = [self.dev.doc_ids[i] for i in doc_idx[b][keep]]
+                out.append((ids, scores[b][keep]))
+            return out
         buckets, weights = self._vectorize(queries)
         total_posting_bound = int(
             np.sum(

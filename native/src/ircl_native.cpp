@@ -11,9 +11,13 @@
 // reference delegates to sklearn's Cython murmurhash and scipy's C CSR
 // assembly (see SURVEY.md section 2.3).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <unordered_map>
+#include <unordered_set>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -106,6 +110,172 @@ int64_t ircl_coo_dedup(const int64_t* rows, const int32_t* cols,
     m++;
   }
   return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// ASCII fast-path query/document vectorizer.
+//
+// For pure-ASCII input this reproduces, bit-exactly, the Python pipeline
+// SimpleTokenizer -> ngrams(n, uncased, filter_ngram) -> murmur3 % hash_size
+// -> unique+counts (see ircl_tpu/corpus/*). Non-ASCII strings must take the
+// Python fallback (unicode category tables are not replicated here).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline bool is_alnum_ascii(uint8_t c) {
+  return (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+         (c >= 'A' && c <= 'Z');
+}
+
+// ASCII \p{Z} is ' ' (0x20); \p{C} is 0x00-0x1f and 0x7f.
+inline bool is_ws_or_ctrl(uint8_t c) { return c == 0x20 || c < 0x20 || c == 0x7f; }
+
+// ASCII \p{P}: ! " # % & ' ( ) * , - . / : ; ? @ [ \ ] _ { }
+inline bool is_punct_ascii(uint8_t c) {
+  switch (c) {
+    case '!': case '"': case '#': case '%': case '&': case '\'': case '(':
+    case ')': case '*': case ',': case '-': case '.': case '/': case ':':
+    case ';': case '?': case '@': case '[': case '\\': case ']': case '_':
+    case '{': case '}':
+      return true;
+    default:
+      return false;
+  }
+}
+
+const std::unordered_set<std::string>& stopwords() {
+  static const std::unordered_set<std::string> kStop = {
+      "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+      "your", "yours", "yourself", "yourselves", "he", "him", "his",
+      "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+      "they", "them", "their", "theirs", "themselves", "what", "which",
+      "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+      "was", "were", "be", "been", "being", "have", "has", "had", "having",
+      "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+      "or", "because", "as", "until", "while", "of", "at", "by", "for",
+      "with", "about", "against", "between", "into", "through", "during",
+      "before", "after", "above", "below", "to", "from", "up", "down", "in",
+      "out", "on", "off", "over", "under", "again", "further", "then",
+      "once", "here", "there", "when", "where", "why", "how", "all", "any",
+      "both", "each", "few", "more", "most", "other", "some", "such", "no",
+      "nor", "not", "only", "own", "same", "so", "than", "too", "very", "s",
+      "t", "can", "will", "just", "don", "should", "now", "d", "ll", "m",
+      "o", "re", "ve", "y", "ain", "aren", "couldn", "didn", "doesn",
+      "hadn", "hasn", "haven", "isn", "ma", "mightn", "mustn", "needn",
+      "shan", "shouldn", "wasn", "weren", "won", "wouldn", "'ll", "'re",
+      "'ve", "n't", "'s", "'d", "'m", "''", "``"};
+  return kStop;
+}
+
+// filter_word for an already-lowercased ASCII token.
+bool filter_word_ascii(const std::string& tok) {
+  bool all_punct = !tok.empty();
+  for (char c : tok) {
+    if (!is_punct_ascii(static_cast<uint8_t>(c))) {
+      all_punct = false;
+      break;
+    }
+  }
+  if (all_punct) return true;
+  return stopwords().count(tok) > 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Vectorize n ASCII texts into hashed-ngram (bucket, count) runs.
+//
+//   packed / offsets : texts packed back-to-back (offsets length n+1)
+//   hash_size        : modulus for murmur3 bucket ids
+//   ngram            : max ngram length (1..n-grams enumerated)
+//   out_buckets / out_counts : capacity max_out entries, filled per text with
+//                              buckets sorted ascending (np.unique parity)
+//   out_offsets      : length n+1, run boundaries per text
+//
+// Returns total entries written, or -1 if max_out was exceeded.
+int64_t ircl_vectorize_ascii(const char* packed, const int64_t* offsets,
+                             int64_t n, int64_t hash_size, int32_t ngram,
+                             int64_t* out_buckets, int32_t* out_counts,
+                             int64_t* out_offsets, int64_t max_out) {
+  int64_t written = 0;
+  std::vector<std::string> words;
+  std::vector<uint8_t> filtered;
+  std::vector<std::pair<int64_t, int32_t>> uniq;
+  std::unordered_map<int64_t, int32_t> counts;
+  std::string gram;
+
+  out_offsets[0] = 0;
+  for (int64_t t = 0; t < n; t++) {
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(packed) + offsets[t];
+    const int64_t len = offsets[t + 1] - offsets[t];
+
+    // SimpleTokenizer, ASCII semantics: alnum runs | single printable
+    // non-space chars, lowercased.
+    words.clear();
+    int64_t i = 0;
+    while (i < len) {
+      uint8_t c = s[i];
+      if (is_alnum_ascii(c)) {
+        int64_t j = i;
+        std::string w;
+        while (j < len && is_alnum_ascii(s[j])) {
+          uint8_t ch = s[j];
+          if (ch >= 'A' && ch <= 'Z') ch += 32;
+          w.push_back(static_cast<char>(ch));
+          j++;
+        }
+        words.push_back(std::move(w));
+        i = j;
+      } else if (!is_ws_or_ctrl(c)) {
+        words.emplace_back(1, static_cast<char>(c));
+        i++;
+      } else {
+        i++;
+      }
+    }
+
+    filtered.clear();
+    filtered.reserve(words.size());
+    for (const auto& w : words) filtered.push_back(filter_word_ascii(w) ? 1 : 0);
+
+    // ngrams 1..ngram with 'any' filtering, murmur3-hashed, counted.
+    counts.clear();
+    const int64_t W = static_cast<int64_t>(words.size());
+    for (int64_t a = 0; a < W; a++) {
+      if (filtered[a]) continue;  // any-mode: unigram filtered
+      gram = words[a];
+      int64_t h = static_cast<int64_t>(
+                      murmur3_x86_32(reinterpret_cast<const uint8_t*>(gram.data()),
+                                     static_cast<int64_t>(gram.size()), 0)) %
+                  hash_size;
+      counts[h]++;
+      for (int64_t b = a + 1; b < std::min(a + ngram, W); b++) {
+        if (filtered[b]) break;  // any token filtered kills all longer grams
+        gram.push_back(' ');
+        gram += words[b];
+        h = static_cast<int64_t>(murmur3_x86_32(
+                reinterpret_cast<const uint8_t*>(gram.data()),
+                static_cast<int64_t>(gram.size()), 0)) %
+            hash_size;
+        counts[h]++;
+      }
+    }
+
+    uniq.assign(counts.begin(), counts.end());
+    std::sort(uniq.begin(), uniq.end());
+    if (written + static_cast<int64_t>(uniq.size()) > max_out) return -1;
+    for (const auto& kv : uniq) {
+      out_buckets[written] = kv.first;
+      out_counts[written] = kv.second;
+      written++;
+    }
+    out_offsets[t + 1] = written;
+  }
+  return written;
 }
 
 }  // extern "C"
