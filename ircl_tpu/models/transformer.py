@@ -1,0 +1,197 @@
+"""BERT/RoBERTa-compatible transformer encoder in functional JAX.
+
+Stands in for the reference's HuggingFace ``BertModel`` featurizer
+(``src/contrastor/contrastive_module.py:32-41``) and the RoBERTa verdict
+classifier body (``src/QA/model.py:10-37``). Architecture: learned word /
+position / token-type embeddings + post-LN encoder blocks (MHA -> Add&LN ->
+GELU FFN -> Add&LN), parameters as plain pytrees. ``from_huggingface`` loads
+real bert-base/roberta-base weights when a local cache exists (this
+environment has no network egress, so random init + trained heads are the
+default; the contrastive head and QA classifier are featurizer-agnostic by
+design).
+
+TPU notes: all matmuls carry ``preferred_element_type=f32``; attention is
+plain jnp (XLA fuses the softmax chain); sequence lengths are short (<=512)
+and static, so flash-attention buys nothing here — the MXU is saturated by
+the batched [B*H, L, L] matmuls already.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 30522
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    max_positions: int = 512
+    type_vocab: int = 2
+    layernorm_eps: float = 1e-12
+    # roberta uses padding_idx-offset position ids (first real position = 2)
+    position_offset: int = 0
+    dtype: Any = jnp.float32
+
+
+def _dense_init(key, shape, scale=0.02):
+    return scale * jax.random.normal(key, shape, jnp.float32)
+
+
+def init_transformer_params(key: jax.Array, cfg: TransformerConfig) -> Dict:
+    keys = iter(jax.random.split(key, 8 + 12 * cfg.layers))
+    p: Dict[str, Any] = {
+        "tok_emb": _dense_init(next(keys), (cfg.vocab_size, cfg.hidden)),
+        "pos_emb": _dense_init(
+            next(keys), (cfg.max_positions + cfg.position_offset, cfg.hidden)
+        ),
+        "type_emb": _dense_init(next(keys), (cfg.type_vocab, cfg.hidden)),
+        "emb_ln": {"scale": jnp.ones(cfg.hidden), "bias": jnp.zeros(cfg.hidden)},
+        "layers": [],
+    }
+    for _ in range(cfg.layers):
+        h, i = cfg.hidden, cfg.intermediate
+        p["layers"].append(
+            {
+                "q": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+                "k": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+                "v": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+                "o": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+                "attn_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+                "ff1": {"w": _dense_init(next(keys), (h, i)), "b": jnp.zeros(i)},
+                "ff2": {"w": _dense_init(next(keys), (i, h)), "b": jnp.zeros(h)},
+                "ff_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+            }
+        )
+    return p
+
+
+def _ln(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return (
+        jnp.einsum(
+            "...i,io->...o", x, p["w"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        + p["b"]
+    )
+
+
+def transformer_apply(
+    params: Dict,
+    cfg: TransformerConfig,
+    ids: jnp.ndarray,  # [B, L] int32
+    mask: jnp.ndarray,  # [B, L] f32 (1 = real token)
+    type_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Last hidden state [B, L, hidden]."""
+    B, L = ids.shape
+    dtype = cfg.dtype
+    pos = jnp.arange(L) + cfg.position_offset
+    x = (
+        params["tok_emb"][ids]
+        + params["pos_emb"][pos][None, :, :]
+        + (
+            params["type_emb"][type_ids]
+            if type_ids is not None
+            else params["type_emb"][0][None, None, :]
+        )
+    ).astype(dtype)
+    x = _ln(x, params["emb_ln"], cfg.layernorm_eps)
+
+    nh = cfg.heads
+    hd = cfg.hidden // nh
+    neg = jnp.asarray(-1e9, dtype)
+    attn_bias = (1.0 - mask[:, None, None, :].astype(dtype)) * neg  # [B,1,1,L]
+
+    for lp in params["layers"]:
+        q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            / np.sqrt(hd)
+            + attn_bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
+        x = _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
+        ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
+        x = _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Optional: load real HuggingFace weights when cached locally.
+# ---------------------------------------------------------------------------
+
+
+def from_huggingface(name: str = "bert-base-uncased"):
+    """(cfg, params) from a locally cached HF checkpoint; raises if absent."""
+    import os
+
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    import torch
+    from transformers import AutoConfig, AutoModel
+
+    model = AutoModel.from_pretrained(name)
+    hc = model.config
+    is_roberta = "roberta" in hc.model_type
+    cfg = TransformerConfig(
+        vocab_size=hc.vocab_size,
+        hidden=hc.hidden_size,
+        layers=hc.num_hidden_layers,
+        heads=hc.num_attention_heads,
+        intermediate=hc.intermediate_size,
+        max_positions=hc.max_position_embeddings - (2 if is_roberta else 0),
+        type_vocab=hc.type_vocab_size,
+        layernorm_eps=hc.layer_norm_eps,
+        position_offset=2 if is_roberta else 0,
+    )
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    pre = "encoder.layer"
+
+    def t(name):
+        return jnp.asarray(sd[name])
+
+    params = {
+        "tok_emb": t("embeddings.word_embeddings.weight"),
+        "pos_emb": t("embeddings.position_embeddings.weight"),
+        "type_emb": t("embeddings.token_type_embeddings.weight"),
+        "emb_ln": {
+            "scale": t("embeddings.LayerNorm.weight"),
+            "bias": t("embeddings.LayerNorm.bias"),
+        },
+        "layers": [],
+    }
+    for l in range(cfg.layers):
+        b = f"{pre}.{l}."
+        params["layers"].append(
+            {
+                "q": {"w": t(b + "attention.self.query.weight").T, "b": t(b + "attention.self.query.bias")},
+                "k": {"w": t(b + "attention.self.key.weight").T, "b": t(b + "attention.self.key.bias")},
+                "v": {"w": t(b + "attention.self.value.weight").T, "b": t(b + "attention.self.value.bias")},
+                "o": {"w": t(b + "attention.output.dense.weight").T, "b": t(b + "attention.output.dense.bias")},
+                "attn_ln": {"scale": t(b + "attention.output.LayerNorm.weight"), "bias": t(b + "attention.output.LayerNorm.bias")},
+                "ff1": {"w": t(b + "intermediate.dense.weight").T, "b": t(b + "intermediate.dense.bias")},
+                "ff2": {"w": t(b + "output.dense.weight").T, "b": t(b + "output.dense.bias")},
+                "ff_ln": {"scale": t(b + "output.LayerNorm.weight"), "bias": t(b + "output.LayerNorm.bias")},
+            }
+        )
+    return cfg, params

@@ -1,0 +1,112 @@
+"""Verdict training loop: epochs over encoded examples, val split, macro-F1.
+
+Host equivalent of the reference ``src/QA/train.py:31-148``: AdamW + linear
+warmup schedule (in the optimizer, ``verdict/model.py``), shuffled epochs,
+1% validation split with per-epoch loss + macro-F1, checkpointing of params.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ircl_tpu.verdict.evaluate import classification_report
+from ircl_tpu.verdict.model import (
+    VerdictConfig,
+    init_verdict_params,
+    make_verdict_train_step,
+    verdict_apply,
+)
+from ircl_tpu.utils.metrics import MetricsLogger
+
+
+def predict_in_batches(params, cfg, ids, mask, types, batch_size=32):
+    preds = []
+    fn = jax.jit(
+        lambda p, i, m, t: jnp.argmax(verdict_apply(p, cfg, i, m, t), axis=-1)
+    )
+    n = len(ids)
+    for lo in range(0, n, batch_size):
+        hi = min(lo + batch_size, n)
+        pad = batch_size - (hi - lo)
+        sl = slice(lo, hi)
+        i = np.pad(ids[sl], ((0, pad), (0, 0)))
+        m = np.pad(mask[sl], ((0, pad), (0, 0)))
+        t = np.pad(types[sl], ((0, pad), (0, 0)))
+        p = np.asarray(fn(params, jnp.asarray(i), jnp.asarray(m), jnp.asarray(t)))
+        preds.append(p[: hi - lo])
+    return np.concatenate(preds) if preds else np.empty(0, np.int32)
+
+
+def train_verdict(
+    cfg: VerdictConfig,
+    ids: np.ndarray,
+    mask: np.ndarray,
+    types: np.ndarray,
+    labels: np.ndarray,
+    epochs: int = 3,
+    batch_size: int = 8,
+    val_fraction: float = 0.01,
+    seed: int = 1009,  # reference QA seed (config.yaml:139)
+    logdir: Optional[str] = None,
+    save_path: Optional[str] = None,
+):
+    rng = np.random.default_rng(seed)
+    n = len(ids)
+    order = rng.permutation(n)
+    n_val = max(1, int(n * val_fraction)) if n > 1 else 0
+    val_idx, train_idx = order[:n_val], order[n_val:]
+
+    params = init_verdict_params(jax.random.PRNGKey(seed), cfg)
+    step_fn, tx = make_verdict_train_step(cfg)
+    opt_state = tx.init(params)
+    metrics = MetricsLogger(logdir, "verdict") if logdir else None
+
+    step = 0
+    history = []
+    for epoch in range(epochs):
+        ep_order = rng.permutation(train_idx)
+        losses = []
+        for lo in range(0, len(ep_order) - batch_size + 1, batch_size):
+            sel = ep_order[lo : lo + batch_size]
+            params, opt_state, loss, _ = step_fn(
+                params,
+                opt_state,
+                jnp.asarray(step),
+                jnp.asarray(ids[sel]),
+                jnp.asarray(mask[sel]),
+                jnp.asarray(types[sel]),
+                jnp.asarray(labels[sel]),
+            )
+            losses.append(float(loss))
+            step += 1
+
+        rep = None
+        if len(val_idx):
+            preds = predict_in_batches(
+                params, cfg, ids[val_idx], mask[val_idx], types[val_idx]
+            )
+            rep = classification_report(labels[val_idx], preds)
+        history.append(
+            {
+                "epoch": epoch,
+                "train_loss": float(np.mean(losses)) if losses else None,
+                "val_macro_f1": rep["macro_f1"] if rep else None,
+            }
+        )
+        if metrics:
+            metrics.scalar("qa_train_loss", history[-1]["train_loss"] or 0.0, step)
+            if rep:
+                metrics.scalar("qa_val_macro_f1", rep["macro_f1"], step)
+
+    if save_path:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            save_path, jax.tree.map(np.asarray, params), force=True
+        )
+        ckptr.wait_until_finished()
+    return params, history
