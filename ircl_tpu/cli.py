@@ -1,0 +1,305 @@
+"""Command-line interface.
+
+Replaces the reference's entry points (``main.py`` argparse + per-script
+CLIs under ``preprocessing/`` and ``src/QA/``) with one subcommand tree:
+
+    python -m ircl_tpu.cli prepare        # corpus artifacts (synthetic/FEVER)
+    python -m ircl_tpu.cli build-index    # hashed-ngram count/tf-idf index
+    python -m ircl_tpu.cli train          # contrastive pretraining
+    python -m ircl_tpu.cli retrieve       # two-stage retrieval + recall@k
+    python -m ircl_tpu.cli train-verdict  # verdict classifier (extrinsic)
+    python -m ircl_tpu.cli bench          # the judged QPS benchmark
+
+Reference flag surface is preserved where it exists: ``--loss
+{InfoNCE,ProtoNCE,HProtoNCE}``, ``--opt {adam,sgd}``, ``--sample
+{uniform,tf_idf}``, ``--seed``, ``--config`` (``main.py:14-84``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def _seed_everything(seed: int) -> None:
+    # Determinism knobs (reference main.py:92-97). JAX PRNG is explicit;
+    # numpy/python RNGs cover host-side sampling.
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _load(args):
+    from ircl_tpu.config import apply_override, load_config
+
+    overrides = {}
+    for kv in args.set or []:
+        key, _, value = kv.partition("=")
+        overrides[key] = value
+    return load_config(args.config, overrides)
+
+
+def cmd_prepare(args):
+    cfg = _load(args)
+    from ircl_tpu.corpus import prepare
+
+    if cfg.data.synthetic:
+        wiki_path, dev_path = prepare.prepare_synthetic(
+            cfg.data.data_dir,
+            cfg.data.synthetic_docs,
+            cfg.data.synthetic_claims,
+            cfg.data.seed,
+        )
+        print(f"synthetic wiki -> {wiki_path}\nclaims -> {dev_path}")
+    else:
+        ids = prepare.small_wiki_doc_ids(cfg.data.train_jsonl, cfg.data.dev_jsonl)
+        n = prepare.extract_wiki(
+            os.path.join(cfg.data.data_dir, "wiki-pages", "*.jsonl"),
+            cfg.data.wiki_json,
+            restrict_to=ids,
+        )
+        print(f"extracted {n} evidence docs -> {cfg.data.wiki_json}")
+    prepare.prepare_sentence_corpus(
+        cfg.data.wiki_json,
+        os.path.join(cfg.data.data_dir, "docs_sentence.pkl"),
+    )
+
+
+def cmd_build_index(args):
+    cfg = _load(args)
+    from ircl_tpu.corpus import fever
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.index.build import build_count_index
+    from ircl_tpu.index.tfidf import tfidf_transform
+
+    wiki = fever.load_wiki_json(cfg.data.wiki_json)
+    store = MemoryDocStore({d: r.get("text", "") for d, r in wiki.items()})
+    index = build_count_index(
+        store, ngram=cfg.index.ngram, hash_size=cfg.index.hash_size
+    )
+    out = os.path.join(cfg.data.data_dir, "index", "count_matrix.npz")
+    index.save(out)
+    tfidf = tfidf_transform(index)
+    out_t = os.path.join(
+        cfg.data.data_dir,
+        "index",
+        f"tfidf-ngram={cfg.index.ngram}-hash={cfg.index.hash_size}.npz",
+    )
+    tfidf.save(out_t)
+    print(f"count index -> {out}\ntf-idf index -> {out_t} ({index.nnz} postings)")
+
+
+def _featurizer(cfg):
+    from ircl_tpu.models.featurizer import HashEmbedFeaturizer
+
+    return HashEmbedFeaturizer(cfg.featurizer)
+
+
+def cmd_train(args):
+    cfg = _load(args)
+    _seed_everything(args.seed)
+    train_cfg = cfg.train
+    if args.loss:
+        train_cfg = dataclasses.replace(train_cfg, loss=args.loss)
+    if args.opt:
+        train_cfg = dataclasses.replace(train_cfg, optimizer=args.opt)
+
+    from ircl_tpu.contrastive.trainer import ContrastiveTrainer
+    from ircl_tpu.corpus import fever
+    from ircl_tpu.data.pairs import DocPairSampler
+    from ircl_tpu.data.similarity import sentence_pair_similarity
+
+    wiki = fever.load_wiki_json(cfg.data.wiki_json)
+    docs = [fever.parse_lines_tab(r["lines"]) for r in wiki.values()]
+    docs = [[s for s in d if s] for d in docs]
+    sim = (
+        sentence_pair_similarity(docs)
+        if args.sample == "tf_idf"
+        else None
+    )
+    sampler = DocPairSampler(
+        docs, sample=args.sample, similarity=sim, seed=args.seed
+    )
+    trainer = ContrastiveTrainer(
+        train_cfg,
+        _featurizer(cfg),
+        sampler,
+        ckptdir=cfg.ckptdir,
+        logdir=cfg.logdir,
+        tag=f"{args.sample}_{train_cfg.loss}_LSTM",
+        seed=args.seed,
+    )
+    if args.resume:
+        print(f"resumed at step {trainer.maybe_resume()}")
+    state = trainer.train(total_steps=args.steps, log_step=args.log_step)
+    print(f"finished at step {int(state.step)}")
+
+
+def cmd_retrieve(args):
+    cfg = _load(args)
+    from ircl_tpu.corpus import fever
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.index.build import build_count_index
+    from ircl_tpu.index.ranker import TfidfRanker
+    from ircl_tpu.index.tfidf import tfidf_transform
+    from ircl_tpu.pipeline.recall import doc_recall_at_k, sentence_recall_at_k
+    from ircl_tpu.pipeline.retrieve import retrieve, sparse_sentence_scorer
+
+    wiki = fever.load_wiki_json(cfg.data.wiki_json)
+    store = MemoryDocStore({d: r.get("text", "") for d, r in wiki.items()})
+    index = tfidf_transform(
+        build_count_index(store, ngram=cfg.index.ngram, hash_size=cfg.index.hash_size)
+    )
+    ranker = TfidfRanker(index, mode=cfg.index.mode, binary_tf=cfg.index.binary_tf)
+
+    claims = fever.parse_claims_jsonl(cfg.data.dev_jsonl, drop_nei=True)
+    doc_sents = {d: fever.parse_lines_tab(r["lines"]) for d, r in wiki.items()}
+
+    scorer = None
+    if args.dense_ckpt:
+        from ircl_tpu.pipeline.dense_scorer import ContrastiveSentenceScorer
+        from ircl_tpu.contrastive.state import init_train_state
+        from ircl_tpu.utils.checkpoint import restore_state
+        import jax
+
+        template = init_train_state(jax.random.PRNGKey(0), cfg.train)
+        state = restore_state(args.dense_ckpt, template)
+        scorer = ContrastiveSentenceScorer(cfg.train, _featurizer(cfg), state)
+    else:
+
+        def factory(sents):
+            s = MemoryDocStore(list(sents))
+            return TfidfRanker(
+                tfidf_transform(build_count_index(s, ngram=2, hash_size=1 << 18))
+            )
+
+        scorer = sparse_sentence_scorer(factory)
+
+    result = retrieve(
+        [c.claim for c in claims],
+        ranker,
+        doc_sents,
+        scorer,
+        k_docs=cfg.retrieval.k_docs,
+        k_sents=cfg.retrieval.k_sents,
+        batch_size=cfg.retrieval.batch_size,
+    )
+    dr = doc_recall_at_k(claims, result.doc_ids, k=cfg.retrieval.k_docs)
+    sr = sentence_recall_at_k(claims, result.sentences, k=cfg.retrieval.k_sents)
+    print(json.dumps({"doc_recall@k": dr, "sentence_recall@k": sr}))
+    if args.out:
+        with open(args.out, "w") as f:
+            for c, docs, sents in zip(claims, result.doc_ids, result.sentences):
+                f.write(
+                    json.dumps(
+                        {"id": c.id, "docs": docs, "sentences": sents}
+                    )
+                    + "\n"
+                )
+
+
+def cmd_train_verdict(args):
+    cfg = _load(args)
+    from ircl_tpu.corpus import fever
+    from ircl_tpu.models.transformer import TransformerConfig
+    from ircl_tpu.models.wordpiece import WordPieceTokenizer
+    from ircl_tpu.verdict.data import build_examples, encode_examples
+    from ircl_tpu.verdict.model import VerdictConfig
+    from ircl_tpu.verdict.train import train_verdict
+
+    wiki = fever.load_wiki_json(cfg.data.wiki_json)
+    doc_sents = {d: fever.parse_lines_tab(r["lines"]) for d, r in wiki.items()}
+    claims = fever.parse_claims_jsonl(cfg.data.dev_jsonl, drop_nei=True)
+    examples = build_examples(claims, doc_sents)
+
+    tok = WordPieceTokenizer.train(
+        [e.claim for e in examples] + [e.evidence_text for e in examples],
+        vocab_size=args.vocab_size,
+    )
+    vcfg = VerdictConfig(
+        encoder=TransformerConfig(
+            vocab_size=tok.vocab_size,
+            hidden=args.hidden,
+            layers=args.layers,
+            heads=args.heads,
+            intermediate=4 * args.hidden,
+            max_positions=cfg.verdict.max_length,
+        ),
+        learning_rate=cfg.verdict.learning_rate,
+        warmup_steps=cfg.verdict.warmup_steps,
+        max_length=cfg.verdict.max_length,
+    )
+    ids, mask, types, labels = encode_examples(examples, tok, cfg.verdict.max_length)
+    _, history = train_verdict(
+        vcfg,
+        ids,
+        mask,
+        types,
+        labels,
+        epochs=cfg.verdict.epochs,
+        batch_size=cfg.verdict.batch_size,
+        val_fraction=cfg.verdict.val_fraction,
+        seed=cfg.verdict.seed,
+        logdir=cfg.logdir,
+        save_path=os.path.join(cfg.ckptdir, "verdict"),
+    )
+    print(json.dumps(history))
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ircl_tpu", description=__doc__)
+    p.add_argument("--config", type=str, default=None, help="yaml/json config path")
+    p.add_argument(
+        "--set", action="append", metavar="KEY=VALUE",
+        help="dotted config override, e.g. --set train.loss=ProtoNCE",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("prepare").set_defaults(fn=cmd_prepare)
+    sub.add_parser("build-index").set_defaults(fn=cmd_build_index)
+
+    t = sub.add_parser("train")
+    t.add_argument("--loss", choices=["InfoNCE", "ProtoNCE", "HProtoNCE"])
+    t.add_argument("--opt", choices=["adam", "sgd"])
+    t.add_argument("--sample", choices=["uniform", "tf_idf"], default="uniform")
+    t.add_argument("--seed", type=int, default=1337)
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--log-step", type=int, default=1000)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    r = sub.add_parser("retrieve")
+    r.add_argument("--dense-ckpt", type=str, default=None)
+    r.add_argument("--out", type=str, default=None)
+    r.set_defaults(fn=cmd_retrieve)
+
+    v = sub.add_parser("train-verdict")
+    v.add_argument("--vocab-size", type=int, default=8192)
+    v.add_argument("--hidden", type=int, default=256)
+    v.add_argument("--layers", type=int, default=4)
+    v.add_argument("--heads", type=int, default=4)
+    v.set_defaults(fn=cmd_train_verdict)
+
+    sub.add_parser("bench").set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
