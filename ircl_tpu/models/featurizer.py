@@ -38,6 +38,10 @@ class FeaturizerConfig:
     max_len: int = 64
     vocab_buckets: int = 1 << 18
     seed: int = 1126  # reference loss-module seed, reused as a nod
+    # Token signal must dominate position signal, or every sequence embeds to
+    # nearly the same mean-pooled vector (representation collapse).
+    token_scale: float = 1.0
+    pos_scale: float = 0.1
 
 
 class HashEmbedFeaturizer:
@@ -46,10 +50,11 @@ class HashEmbedFeaturizer:
     def __init__(self, config: FeaturizerConfig = FeaturizerConfig()):
         self.config = config
         key = jax.random.PRNGKey(config.seed)
-        # Frozen embedding table; scaled like typical init.
+        # Frozen embedding table: unit-variance rows so distinct tokens give
+        # distinct features after mean-pooling.
         self.table = (
             jax.random.normal(key, (config.vocab_buckets, config.dim), jnp.float32)
-            * 0.02
+            * config.token_scale
         )
         pos = np.arange(config.max_len)[:, None]
         div = np.exp(
@@ -58,7 +63,7 @@ class HashEmbedFeaturizer:
         pe = np.zeros((config.max_len, config.dim), np.float32)
         pe[:, 0::2] = np.sin(pos * div)
         pe[:, 1::2] = np.cos(pos * div)
-        self.pos = jnp.asarray(pe)
+        self.pos = jnp.asarray(pe) * config.pos_scale
 
     def encode_host(
         self, texts: Sequence[str]

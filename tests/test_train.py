@@ -84,19 +84,29 @@ def test_train_step_updates_state_and_loss_decreases():
 
 
 def test_queue_activation_raises_loss():
-    """At queue_start_steps the loss gains queue negatives and jumps up
-    (mirrors reference behavior flipping add_queue_to_loss,
-    src/train.py:124-130)."""
-    rng = np.random.default_rng(4)
-    state = init_train_state(jax.random.PRNGKey(4), CFG)
-    step = make_train_step(CFG, FEAT)
-    batch = _batch(rng, CFG.accum_steps, CFG.micro_batch)
-    losses = []
-    for _ in range(4):
-        state, loss, _ = step(state, *batch)
-        losses.append(float(loss))
-    # steps 0,1 run without queue; steps 2,3 with queue negatives.
-    assert min(losses[2:]) > max(losses[:2])
+    """At queue_start_steps the loss gains queue negatives and rises relative
+    to an identical run without activation (mirrors reference behavior
+    flipping add_queue_to_loss, src/train.py:124-130)."""
+    import dataclasses
+
+    cfg_on = CFG  # queue_start_steps=2
+    cfg_off = dataclasses.replace(CFG, queue_start_steps=10_000)
+    batch = _batch(np.random.default_rng(4), CFG.accum_steps, CFG.micro_batch)
+
+    losses = {}
+    for name, cfg in (("on", cfg_on), ("off", cfg_off)):
+        state = init_train_state(jax.random.PRNGKey(4), cfg)
+        step = make_train_step(cfg, FEAT)
+        ls = []
+        for _ in range(4):
+            state, loss, _ = step(state, *batch)
+            ls.append(float(loss))
+        losses[name] = ls
+
+    # identical before activation, strictly higher once queue negatives join
+    np.testing.assert_allclose(losses["on"][:2], losses["off"][:2], rtol=1e-6)
+    assert losses["on"][2] > losses["off"][2]
+    assert losses["on"][3] > losses["off"][3]
 
 
 def test_queue_contains_recent_keys():
