@@ -86,7 +86,8 @@ def main():
     log(f"cpu baseline: {cpu_qps:.1f} q/s")
 
     # ---- TPU path ---------------------------------------------------------
-    ranker = TfidfRanker(index)
+    # Pinned serving shapes: one compiled executable for every batch.
+    ranker = TfidfRanker(index, fixed_union_cap=8192, fixed_max_terms=64)
     # warmup / compile
     t0 = time.time()
     results = ranker.closest_docs_batch(claims, k=K)

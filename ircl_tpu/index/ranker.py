@@ -115,7 +115,16 @@ class TfidfRanker:
         device=None,
         binary_tf: bool = False,
         mode: str = "auto",
+        fixed_union_cap: Optional[int] = None,
+        fixed_max_terms: Optional[int] = None,
     ):
+        # fixed_* pin the compiled shapes for serving: every batch reuses one
+        # executable (stable persistent-cache keys across processes). Queries
+        # with more unique terms than fixed_max_terms are truncated; a batch
+        # union exceeding fixed_union_cap falls back to the next power of two
+        # (one extra compile).
+        self.fixed_union_cap = fixed_union_cap
+        self.fixed_max_terms = fixed_max_terms
         if not index.weighted and not binary_tf:
             from ircl_tpu.index.tfidf import tfidf_transform
 
@@ -158,6 +167,7 @@ class TfidfRanker:
             self.dev.ngram,
             self.dev.doc_freqs,
             self.dev.num_docs,
+            max_terms=self.fixed_max_terms,
             binary_tf=self.binary_tf,
             idfs=self._idfs,
         )
@@ -191,7 +201,9 @@ class TfidfRanker:
         )
 
         buckets, weights = self._vectorize(queries)
-        u_pad = self._union_slots(buckets, weights, floor=512)
+        u_pad = self._union_slots(
+            buckets, weights, floor=self.fixed_union_cap or 512
+        )
         qb_t, qw_t = pad_for_slab(
             np.ascontiguousarray(buckets.T.astype(np.int32)),
             np.ascontiguousarray(weights.T),
