@@ -40,8 +40,8 @@ def main():
     from ircl_tpu.index.ranker import TfidfRanker, vectorize_queries
     from ircl_tpu.index.tfidf import tfidf_transform
 
-    NUM_DOCS = 5000
-    NUM_CLAIMS = 512
+    NUM_DOCS = 50_000
+    NUM_CLAIMS = 1024
     HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
     K = 5
 
@@ -112,7 +112,7 @@ def main():
     # steady-state throughput: pipeline batches (async dispatch), block once.
     import jax as _jax
 
-    reps = 20
+    reps = 10
     t0 = time.time()
     pending = [
         ranker._closest_ell_async(claims, K)
