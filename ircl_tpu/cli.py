@@ -36,7 +36,7 @@ def _seed_everything(seed: int) -> None:
 
 
 def _load(args):
-    from ircl_tpu.config import apply_override, load_config
+    from ircl_tpu.config import load_config
 
     overrides = {}
     for kv in args.set or []:

@@ -14,7 +14,7 @@ Math matches the reference's ``NCELoss`` / ``InfoNCE``
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,8 @@ updates and EMA happen in-place in HBM.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Any
 
 import chex
 import jax

@@ -17,7 +17,6 @@ The featurizer is frozen: its application sits inside the step under
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Tuple
 
 import jax

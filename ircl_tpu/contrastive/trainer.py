@@ -15,7 +15,6 @@ analogue: shapes are static, so memory use is fixed at compile time.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Optional
 
@@ -25,7 +24,7 @@ import numpy as np
 
 from ircl_tpu.contrastive.cluster import ClusterResult, run_hierarchical, run_kmeans
 from ircl_tpu.contrastive.losses import sample_negative_prototypes
-from ircl_tpu.contrastive.state import TrainConfig, TrainState, init_train_state
+from ircl_tpu.contrastive.state import TrainConfig, init_train_state
 from ircl_tpu.contrastive.train import make_embed_fn, make_train_step
 from ircl_tpu.data.pairs import DocPairSampler
 from ircl_tpu.dense.embed import embed_corpus

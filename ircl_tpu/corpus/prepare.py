@@ -26,7 +26,7 @@ import glob
 import json
 import os
 import pickle
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Optional
 
 from ircl_tpu.corpus import fever
 from ircl_tpu.corpus.store import FlatDocStore

@@ -147,8 +147,7 @@ def from_huggingface(name: str = "bert-base-uncased"):
 
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
-    import torch
-    from transformers import AutoConfig, AutoModel
+    from transformers import AutoModel
 
     model = AutoModel.from_pretrained(name)
     hc = model.config

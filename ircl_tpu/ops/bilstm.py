@@ -17,7 +17,6 @@ for input-hidden, orthogonal for hidden-hidden, zero biases.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List
 
 import jax

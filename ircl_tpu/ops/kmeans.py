@@ -17,7 +17,7 @@ temperatures (``src/contrastor/utils.py:79-94``):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

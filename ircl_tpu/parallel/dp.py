@@ -14,8 +14,6 @@ Implementation is pure pjit: the same jitted ``train_step`` body, with
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import jax.numpy as jnp
 import numpy as np
 
 from ircl_tpu.contrastive.state import TrainConfig, TrainState

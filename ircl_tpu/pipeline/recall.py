@@ -15,7 +15,7 @@ reference (``src/dataset.py:55``).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 from ircl_tpu.corpus.fever import Claim, nfkd
 

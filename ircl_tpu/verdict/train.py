@@ -7,7 +7,7 @@ warmup schedule (in the optimizer, ``verdict/model.py``), shuffled epochs,
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
