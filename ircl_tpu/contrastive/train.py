@@ -54,10 +54,13 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
         config.use_queue and config.queue_size % config.micro_batch == 0
     )
 
-    def micro_loss(params_q, params_k, queue, use_queue_flag, batch, proto):
+    def micro_loss(params_q, params_k, queue, use_queue_flag, batch, proto, feat_params):
         ids_a, mask_a, ids_k, mask_k = batch
-        feats_a = jax.lax.stop_gradient(featurizer.features(ids_a, mask_a))
-        feats_k = jax.lax.stop_gradient(featurizer.features(ids_k, mask_k))
+        # Frozen featurizer applied inside the step; its params arrive as
+        # arguments (closing over them would embed the embedding table as an
+        # HLO constant — hundreds of MB in every compile).
+        feats_a = jax.lax.stop_gradient(featurizer.apply(feat_params, ids_a, mask_a))
+        feats_k = jax.lax.stop_gradient(featurizer.apply(feat_params, ids_k, mask_k))
         q = seq2vec(params_q, enc_cfg, feats_a, mask_a)
         if config.use_momentum:
             k = jax.lax.stop_gradient(seq2vec(params_k, enc_cfg, feats_k, mask_k))
@@ -84,6 +87,7 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
         ids_k: jnp.ndarray,
         mask_k: jnp.ndarray,
         proto: Optional[Any] = None,
+        feat_params: Any = None,
     ) -> Tuple[TrainState, jnp.ndarray, jnp.ndarray]:
         use_queue_flag = (
             state.step >= config.queue_start_steps
@@ -103,6 +107,7 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
                 use_queue_flag,
                 (m_ids_a, m_mask_a, m_ids_k, m_mask_k),
                 p,
+                feat_params,
             )
             if do_enqueue:
                 queue, ptr = _enqueue(queue, ptr, k, config.queue_size)
@@ -145,9 +150,17 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
         )
         return new_state, loss_sum, grad_norm
 
-    if jit:
-        return jax.jit(train_step, donate_argnums=0)
-    return train_step
+    if not jit:
+        return train_step
+
+    jitted = jax.jit(train_step, donate_argnums=0)
+
+    def call(state, ids_a, mask_a, ids_k, mask_k, proto=None):
+        return jitted(
+            state, ids_a, mask_a, ids_k, mask_k, proto, featurizer.params
+        )
+
+    return call
 
 
 def make_embed_fn(config: TrainConfig, featurizer):
@@ -155,8 +168,11 @@ def make_embed_fn(config: TrainConfig, featurizer):
     (reference ``ctx2vec``, ``contrastive_module.py:96-100``)."""
 
     @jax.jit
-    def embed(params_q, ids, mask):
-        feats = featurizer.features(ids, mask)
+    def embed(params_q, feat_params, ids, mask):
+        feats = featurizer.apply(feat_params, ids, mask)
         return seq2vec(params_q, config.encoder, feats, mask)
 
-    return embed
+    def call(params_q, ids, mask):
+        return embed(params_q, featurizer.params, ids, mask)
+
+    return call

@@ -83,8 +83,25 @@ class HashEmbedFeaturizer:
             mask[b, :n] = 1.0
         return ids, mask
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @property
+    def params(self):
+        """Frozen featurizer arrays, passed as *arguments* into jitted
+        programs. Closing over them would embed the (possibly hundreds of
+        MB) table as an HLO constant — bloating every compile."""
+        return {"table": self.table, "pos": self.pos}
+
     def features(self, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         """(ids, mask) -> frozen features [B, L, D]."""
-        emb = self.table[ids] + self.pos[None, : ids.shape[1]]
+        return hash_embed_apply(self.params, ids, mask)
+
+    @staticmethod
+    def apply(params, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Pure featurizer map for use inside larger jitted programs (params
+        must be threaded as arguments, never closed over)."""
+        emb = params["table"][ids] + params["pos"][None, : ids.shape[1]]
         return emb * mask[:, :, None]
+
+
+@jax.jit
+def hash_embed_apply(params, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return HashEmbedFeaturizer.apply(params, ids, mask)

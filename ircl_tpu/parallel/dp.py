@@ -35,16 +35,28 @@ def make_dp_train_step(config: TrainConfig, featurizer, mesh: Mesh, axis: str = 
     def place_batch(*arrays):
         return tuple(jax.device_put(jnp.asarray(a), batch_sharded) for a in arrays)
 
-    step = jax.jit(
-        raw_step,
+    def body(state, ids_a, mask_a, ids_k, mask_k, feat_params):
+        return raw_step(
+            state, ids_a, mask_a, ids_k, mask_k, None, feat_params
+        )
+
+    jitted = jax.jit(
+        body,
         in_shardings=(
             replicated,
             batch_sharded,
             batch_sharded,
             batch_sharded,
             batch_sharded,
+            replicated,
         ),
         out_shardings=(replicated, replicated, replicated),
         donate_argnums=0,
     )
+
+    def step(state, ids_a, mask_a, ids_k, mask_k):
+        return jitted(
+            state, ids_a, mask_a, ids_k, mask_k, featurizer.params
+        )
+
     return step, place_state, place_batch
