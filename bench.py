@@ -87,7 +87,10 @@ def main():
 
     # ---- TPU path ---------------------------------------------------------
     # Pinned serving shapes: one compiled executable for every batch.
-    ranker = TfidfRanker(index, fixed_union_cap=8192, fixed_max_terms=64)
+    ranker = TfidfRanker(
+        index, mode="hybrid", df_threshold=128,
+        fixed_union_cap=4096, fixed_max_terms=64,
+    )
     # warmup / compile
     t0 = time.time()
     results = ranker.closest_docs_batch(claims, k=K)
@@ -114,14 +117,13 @@ def main():
 
     reps = 10
     t0 = time.time()
-    pending = [
-        ranker._closest_ell_async(claims, K)
-        if ranker.mode == "ell"
-        else ranker.closest_docs_batch(claims, k=K)
-        for _ in range(reps)
-    ]
-    if ranker.mode == "ell":
-        _jax.block_until_ready(pending)
+    async_fn = (
+        ranker._closest_hybrid_async
+        if ranker.mode == "hybrid"
+        else ranker._closest_ell_async
+    )
+    pending = [async_fn(claims, K) for _ in range(reps)]
+    _jax.block_until_ready(pending)
     dt = time.time() - t0
     tpu_qps = reps * NUM_CLAIMS / dt
     log(f"tpu steady-state: {tpu_qps:.1f} q/s")

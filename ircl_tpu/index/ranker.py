@@ -101,13 +101,16 @@ class TfidfRanker:
 
     - ``"ell"`` (default for corpora that fit): doc-major membership-matmul
       (``ops/membership``) — dense compare + MXU, no gather/scatter/sort.
+    - ``"hybrid"``: df-split engine (``index/split`` + ``ops/hybrid``) —
+      heavy terms through a small membership slab, light (rare) terms through
+      host-gathered posting pools, exact merge. Scales past ``ell`` because
+      both the slab union and the per-doc width shrink to the heavy subset.
     - ``"ragged"``: term-major gather + sort + segment top-k (``ops/ragged``)
-      — posting-mass proportional, for corpora where U*N*K compare work
-      outgrows the gathered posting mass.
-    - ``"auto"``: ell for num_docs <= 200k, else ragged.
+      — posting-mass proportional, kept for validation.
+    - ``"auto"``: ell for small corpora, hybrid beyond.
     """
 
-    ELL_MAX_DOCS = 200_000
+    ELL_MAX_DOCS = 20_000
 
     def __init__(
         self,
@@ -117,6 +120,7 @@ class TfidfRanker:
         mode: str = "auto",
         fixed_union_cap: Optional[int] = None,
         fixed_max_terms: Optional[int] = None,
+        df_threshold: int = 128,
     ):
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
@@ -134,10 +138,24 @@ class TfidfRanker:
         self._max_df = index.max_doc_freq()
         self._idfs = idf_vector(index.doc_freqs, index.num_docs)
         if mode == "auto":
-            mode = "ell" if index.num_docs <= self.ELL_MAX_DOCS else "ragged"
+            mode = "ell" if index.num_docs <= self.ELL_MAX_DOCS else "hybrid"
         self.mode = mode
         self._ell_terms = self._ell_vals = None
         self._ell_terms_t = self._ell_vals_t = None
+        self._split = None
+        if mode == "hybrid":
+            from ircl_tpu.index.split import split_index
+            from ircl_tpu.ops.membership_pallas import pad_for_slab
+
+            self._split = split_index(index, df_threshold=df_threshold)
+            tt, vt = pad_for_slab(
+                np.ascontiguousarray(self._split.heavy.terms.T),
+                np.ascontiguousarray(self._split.heavy.vals.T),
+                d_tile=256,
+            )
+            put = lambda x: jax.device_put(x, device)
+            self._heavy_terms_t = put(tt)
+            self._heavy_vals_t = put(vt)
         if mode == "ell":
             from ircl_tpu.index.ell import to_ell
 
@@ -226,12 +244,53 @@ class TfidfRanker:
         b = len(queries)
         return np.asarray(scores)[:b], np.asarray(doc_idx)[:b]
 
+    def _closest_hybrid_async(self, queries: Sequence[str], k: int):
+        from ircl_tpu.index.split import gather_light_pools
+        from ircl_tpu.ops.hybrid import hybrid_topk
+        from ircl_tpu.ops.membership_pallas import pad_for_slab
+
+        buckets, weights = self._vectorize(queries)
+        heavy_q = self._split.doc_freqs[buckets] > self._split.df_threshold
+        hw = np.where(heavy_q, weights, 0.0).astype(np.float32)
+        u_pad = self._union_slots(
+            buckets, hw, floor=self.fixed_union_cap or 512
+        )
+        qb_t, qw_t = pad_for_slab(
+            np.ascontiguousarray(buckets.T.astype(np.int32)),
+            np.ascontiguousarray(hw.T),
+            d_tile=128,
+        )
+        light_docs, light_contribs, _ = gather_light_pools(
+            self._split, buckets, weights
+        )
+        interpret = jax.default_backend() == "cpu"
+        return hybrid_topk(
+            self._heavy_terms_t,
+            self._heavy_vals_t,
+            jnp.asarray(u_pad),
+            jnp.asarray(qb_t),
+            jnp.asarray(qw_t),
+            jnp.asarray(light_docs),
+            jnp.asarray(light_contribs),
+            k=k,
+            num_real_docs=self.dev.num_docs,
+            interpret=interpret,
+        )
+
+    def _closest_hybrid(self, queries: Sequence[str], k: int):
+        scores, doc_idx = self._closest_hybrid_async(queries, k)
+        b = len(queries)
+        return np.asarray(scores)[:b], np.asarray(doc_idx)[:b]
+
     def closest_docs_batch(
         self, queries: Sequence[str], k: int = 5
     ) -> List[Tuple[List[str], np.ndarray]]:
         """Top-k (doc_ids, scores) per query. Exact w.r.t. the sparse matvec."""
-        if self.mode == "ell":
-            scores, doc_idx = self._closest_ell(queries, k)
+        if self.mode in ("ell", "hybrid"):
+            if self.mode == "ell":
+                scores, doc_idx = self._closest_ell(queries, k)
+            else:
+                scores, doc_idx = self._closest_hybrid(queries, k)
             out = []
             for b in range(len(queries)):
                 keep = doc_idx[b] >= 0

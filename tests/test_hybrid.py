@@ -1,0 +1,83 @@
+"""Hybrid heavy/light scorer: exactness vs the full-slab ELL path."""
+
+import numpy as np
+import pytest
+
+from ircl_tpu.corpus.store import MemoryDocStore
+from ircl_tpu.corpus.synthetic import generate
+from ircl_tpu.index.build import build_count_index, to_scipy
+from ircl_tpu.index.ranker import TfidfRanker
+from ircl_tpu.index.split import gather_light_pools, split_index
+from ircl_tpu.index.tfidf import tfidf_transform
+
+HASH_SIZE = 2**20
+
+
+@pytest.fixture(scope="module")
+def setup():
+    wiki = generate(num_docs=150, num_claims=50, seed=13)
+    store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
+    index = tfidf_transform(build_count_index(store, ngram=2, hash_size=HASH_SIZE))
+    claims = [c.claim for c in wiki.claims]
+    return index, claims
+
+
+@pytest.mark.parametrize("threshold", [4, 16, 64])
+def test_split_partitions_postings(setup, threshold):
+    index, _ = setup
+    split = split_index(index, df_threshold=threshold)
+    total_heavy = int((split.heavy.terms >= 0).sum())
+    total_light = len(split.light_docs)
+    assert total_heavy + total_light == index.nnz
+    # light rows only contain terms with df <= threshold
+    light_lens = np.diff(split.light_indptr)
+    assert light_lens.max(initial=0) <= threshold
+
+
+def test_light_pool_gather_matches_csr(setup):
+    index, claims = setup
+    split = split_index(index, df_threshold=8)
+    ranker = TfidfRanker(index, mode="ragged")
+    buckets, weights = ranker._vectorize(claims)
+    docs, contribs, nnz = gather_light_pools(split, buckets, weights)
+
+    mat = to_scipy(index)
+    for b in range(5):
+        # reconstruct light contribution vector densely
+        dense = np.zeros(index.num_docs, np.float64)
+        for t in range(buckets.shape[1]):
+            w = weights[b, t]
+            term = buckets[b, t]
+            if w == 0 or index.doc_freqs[term] > 8:
+                continue
+            row = mat.getrow(term)
+            dense[row.indices] += w * row.data
+        pool = np.zeros(index.num_docs, np.float64)
+        valid = docs[b] < index.num_docs
+        np.add.at(pool, docs[b][valid], contribs[b][valid])
+        np.testing.assert_allclose(pool, dense, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("threshold", [2, 8, 32])
+def test_hybrid_topk_matches_ell(setup, threshold):
+    index, claims = setup
+    r_ell = TfidfRanker(index, mode="ell")
+    r_hyb = TfidfRanker(index, mode="hybrid", df_threshold=threshold)
+    out_e = r_ell.closest_docs_batch(claims, k=5)
+    out_h = r_hyb.closest_docs_batch(claims, k=5)
+    for qi, ((ids_e, s_e), (ids_h, s_h)) in enumerate(zip(out_e, out_h)):
+        assert len(ids_e) == len(ids_h), f"query {qi}"
+        np.testing.assert_allclose(s_h, s_e, rtol=1e-4, atol=1e-6)
+        assert set(ids_h) == set(ids_e) or np.allclose(
+            sorted(s_h), sorted(s_e), rtol=1e-4
+        )
+
+
+def test_auto_mode_selects_hybrid_for_large_corpus(setup):
+    index, _ = setup
+    old = TfidfRanker.ELL_MAX_DOCS
+    try:
+        TfidfRanker.ELL_MAX_DOCS = 10
+        assert TfidfRanker(index).mode == "hybrid"
+    finally:
+        TfidfRanker.ELL_MAX_DOCS = old
