@@ -249,7 +249,77 @@ def cmd_train_verdict(args):
         logdir=cfg.logdir,
         save_path=os.path.join(cfg.ckptdir, "verdict"),
     )
+    # Persist tokenizer + architecture so eval-verdict can reload the model.
+    tok.save_vocab(os.path.join(cfg.ckptdir, "verdict_vocab.txt"))
+    import dataclasses as _dc
+
+    with open(os.path.join(cfg.ckptdir, "verdict_config.json"), "w") as f:
+        json.dump(
+            {
+                "encoder": _dc.asdict(vcfg.encoder) | {"dtype": None},
+                "num_labels": vcfg.num_labels,
+                "max_length": vcfg.max_length,
+            },
+            f,
+        )
     print(json.dumps(history))
+
+
+def cmd_eval_verdict(args):
+    """Extrinsic evaluation (reference ``src/QA/evaluate.py``): classify dev
+    claims over gold evidence or over retrieval output (--retrieved jsonl
+    from ``retrieve --out``) and print the classification report."""
+    cfg = _load(args)
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from ircl_tpu.corpus import fever
+    from ircl_tpu.models.transformer import TransformerConfig
+    from ircl_tpu.models.wordpiece import WordPieceTokenizer
+    from ircl_tpu.verdict.data import build_examples, encode_examples
+    from ircl_tpu.verdict.evaluate import classification_report, format_report
+    from ircl_tpu.verdict.model import VerdictConfig, init_verdict_params
+    from ircl_tpu.verdict.train import predict_in_batches
+
+    with open(os.path.join(cfg.ckptdir, "verdict_config.json")) as f:
+        meta = json.load(f)
+    enc_kwargs = {k: v for k, v in meta["encoder"].items() if k != "dtype"}
+    vcfg = VerdictConfig(
+        encoder=TransformerConfig(**enc_kwargs),
+        num_labels=meta["num_labels"],
+        max_length=meta["max_length"],
+    )
+    tok = WordPieceTokenizer.from_vocab_file(
+        os.path.join(cfg.ckptdir, "verdict_vocab.txt")
+    )
+
+    template = init_verdict_params(jax.random.PRNGKey(0), vcfg)
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(
+        os.path.abspath(os.path.join(cfg.ckptdir, "verdict")),
+        jax.tree.map(np.asarray, template),
+    )
+
+    wiki = fever.load_wiki_json(cfg.data.wiki_json)
+    doc_sents = {d: fever.parse_lines_tab(r["lines"]) for d, r in wiki.items()}
+    claims = fever.parse_claims_jsonl(cfg.data.dev_jsonl, drop_nei=True)
+
+    override = None
+    if args.retrieved:
+        by_id = {}
+        with open(args.retrieved) as f:
+            for line in f:
+                rec = json.loads(line)
+                by_id[rec["id"]] = [tuple(s) for s in rec["sentences"]]
+        override = [by_id.get(c.id, []) for c in claims]
+
+    examples = build_examples(claims, doc_sents, evidence_override=override)
+    ids, mask, types, labels = encode_examples(examples, tok, vcfg.max_length)
+    preds = predict_in_batches(params, vcfg, ids, mask, types)
+    report = classification_report(labels, preds)
+    print(format_report(report), file=sys.stderr)
+    print(json.dumps(report))
 
 
 def cmd_bench(args):
@@ -291,6 +361,13 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--layers", type=int, default=4)
     v.add_argument("--heads", type=int, default=4)
     v.set_defaults(fn=cmd_train_verdict)
+
+    ev = sub.add_parser("eval-verdict")
+    ev.add_argument(
+        "--retrieved", type=str, default=None,
+        help="results jsonl from `retrieve --out` (default: gold evidence)",
+    )
+    ev.set_defaults(fn=cmd_eval_verdict)
 
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
     return p

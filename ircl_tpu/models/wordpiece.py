@@ -71,6 +71,14 @@ class WordPieceTokenizer:
                 vocab[line.rstrip("\n")] = i
         return cls(vocab)
 
+    def save_vocab(self, path: str) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            for tok, _ in sorted(self.vocab.items(), key=lambda kv: kv[1]):
+                f.write(tok + "\n")
+
     # -- tokenization -------------------------------------------------------
 
     def _wordpiece(self, word: str) -> List[str]:
