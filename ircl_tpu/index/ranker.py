@@ -121,7 +121,10 @@ class TfidfRanker:
         fixed_union_cap: Optional[int] = None,
         fixed_max_terms: Optional[int] = None,
         df_threshold: int = 128,
+        precision: str = "highest",  # "default": bf16 scores matmul (ranking
+        #                               holds; scores drift ~0.2% rel)
     ):
+        self.precision = precision
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
         # with more unique terms than fixed_max_terms are truncated; a batch
@@ -275,6 +278,7 @@ class TfidfRanker:
             k=k,
             num_real_docs=self.dev.num_docs,
             interpret=interpret,
+            precision=self.precision,
         )
 
     def _closest_hybrid(self, queries: Sequence[str], k: int):

@@ -25,7 +25,7 @@ from ircl_tpu.ops.membership_pallas import membership_slab
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_real_docs", "interpret")
+    jax.jit, static_argnames=("k", "num_real_docs", "interpret", "precision")
 )
 def hybrid_topk(
     heavy_terms_t: jnp.ndarray,  # [K_h, N_pad] int32 (pad -1)
@@ -38,10 +38,16 @@ def hybrid_topk(
     k: int,
     num_real_docs: int,
     interpret: bool = False,
+    precision: str = "highest",  # "highest" (score parity) | "default" (bf16)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, P = light_docs.shape
     n_pad = heavy_terms_t.shape[1]
     u_tile = min(512, u_sorted.shape[0])
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
     # ---- heavy dense scores ------------------------------------------------
     m = membership_slab(
@@ -54,7 +60,7 @@ def hybrid_topk(
     h = jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )[:B]  # [B, N_pad]
 
     kk = min(k, n_pad)
