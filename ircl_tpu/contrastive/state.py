@@ -44,6 +44,8 @@ class TrainConfig:
     cluster_update_steps: int = 4000
     num_clusters: tuple = (4096, 6144, 8192)
     num_neg_proto: int = 3072
+    # "bfloat16" runs encoder matmuls in bf16 (params and loss stay f32).
+    compute_dtype: str = "float32"
 
 
 @chex.dataclass

@@ -54,6 +54,8 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
         config.use_queue and config.queue_size % config.micro_batch == 0
     )
 
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
     def micro_loss(params_q, params_k, queue, use_queue_flag, batch, proto, feat_params):
         ids_a, mask_a, ids_k, mask_k = batch
         # Frozen featurizer applied inside the step; its params arrive as
@@ -61,6 +63,10 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
         # HLO constant — hundreds of MB in every compile).
         feats_a = jax.lax.stop_gradient(featurizer.apply(feat_params, ids_a, mask_a))
         feats_k = jax.lax.stop_gradient(featurizer.apply(feat_params, ids_k, mask_k))
+        # Mixed precision: encoder matmuls follow the feature dtype; losses,
+        # normalization, and optimizer state stay f32.
+        feats_a = feats_a.astype(compute_dtype)
+        feats_k = feats_k.astype(compute_dtype)
         q = seq2vec(params_q, enc_cfg, feats_a, mask_a)
         if config.use_momentum:
             k = jax.lax.stop_gradient(seq2vec(params_k, enc_cfg, feats_k, mask_k))
