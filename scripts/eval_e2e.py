@@ -1,0 +1,119 @@
+"""End-to-end measured evaluation on TPU: the full two-stage pipeline.
+
+Builds a synthetic FEVER-like corpus, trains the contrastive encoder on it
+(uniform and augment sampling), and measures doc/sentence recall@5 for:
+sparse-only stage-2, untrained dense re-rank, and trained dense re-rank.
+Writes RESULTS.md. Run from the repo root: ``python scripts/eval_e2e.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
+
+    from ircl_tpu.contrastive.state import TrainConfig
+    from ircl_tpu.contrastive.trainer import ContrastiveTrainer
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.corpus.synthetic import generate
+    from ircl_tpu.data.pairs import DocPairSampler
+    from ircl_tpu.index.build import build_count_index
+    from ircl_tpu.index.ranker import TfidfRanker
+    from ircl_tpu.index.tfidf import tfidf_transform
+    from ircl_tpu.models.encoder import EncoderConfig
+    from ircl_tpu.models.featurizer import FeaturizerConfig, HashEmbedFeaturizer
+    from ircl_tpu.pipeline.dense_scorer import ContrastiveSentenceScorer
+    from ircl_tpu.pipeline.recall import doc_recall_at_k, sentence_recall_at_k
+    from ircl_tpu.pipeline.retrieve import retrieve, sparse_sentence_scorer
+
+    NUM_DOCS, NUM_CLAIMS, STEPS = 5000, 500, 1500
+
+    t0 = time.time()
+    wiki = generate(num_docs=NUM_DOCS, num_claims=NUM_CLAIMS, seed=42)
+    claims_text = [c.claim for c in wiki.claims]
+    store = MemoryDocStore({d: r["text"] for d, r in wiki.docs.items()})
+    index = tfidf_transform(build_count_index(store, ngram=2, hash_size=1 << 24))
+    ranker = TfidfRanker(index)
+    t_index = time.time() - t0
+
+    results = {"corpus_docs": NUM_DOCS, "claims": NUM_CLAIMS, "index_s": round(t_index, 1)}
+
+    # stage 1 only
+    t0 = time.time()
+    stage1 = ranker.closest_docs_batch(claims_text, k=5)
+    results["doc_recall@5"] = round(
+        doc_recall_at_k(wiki.claims, [ids for ids, _ in stage1], k=5), 4
+    )
+    results["stage1_s"] = round(time.time() - t0, 1)
+
+    feat = HashEmbedFeaturizer(FeaturizerConfig(dim=768, max_len=32))
+    cfg = TrainConfig(
+        encoder=EncoderConfig(masked_mean=True),
+        micro_batch=128,
+        accum_steps=2,
+        queue_start_steps=300,
+        learning_rate=2.5e-4,
+    )
+
+    def run_stage2(scorer, tag):
+        t0 = time.time()
+        res = retrieve(
+            claims_text, ranker, wiki.sentences, scorer, k_docs=5, k_sents=5,
+            batch_size=256,
+        )
+        results[f"sentence_recall@5_{tag}"] = round(
+            sentence_recall_at_k(wiki.claims, res.sentences, k=5), 4
+        )
+        results[f"stage2_{tag}_s"] = round(time.time() - t0, 1)
+
+    # untrained dense baseline
+    from ircl_tpu.contrastive.state import init_train_state
+
+    state0 = init_train_state(jax.random.PRNGKey(0), cfg)
+    run_stage2(ContrastiveSentenceScorer(cfg, feat, state0), "dense_untrained")
+
+    # trained (augment + uniform)
+    docs = list(wiki.sentences.values())
+    for mode in ("augment", "uniform"):
+        sampler = DocPairSampler(docs, sample=mode, seed=7)
+        with tempfile.TemporaryDirectory() as td:
+            tr = ContrastiveTrainer(
+                cfg, feat, sampler, ckptdir=td + "/c", logdir=td + "/l"
+            )
+            t0 = time.time()
+            state = tr.train(total_steps=STEPS, log_step=10**9)
+            results[f"train_{mode}_s"] = round(time.time() - t0, 1)
+        run_stage2(
+            ContrastiveSentenceScorer(cfg, feat, state), f"dense_{mode}"
+        )
+
+    print(json.dumps(results))
+    with open("RESULTS.md", "w") as f:
+        f.write(
+            "# RESULTS — measured on one TPU v5e chip\n\n"
+            f"Synthetic FEVER-like corpus: {NUM_DOCS} docs, {NUM_CLAIMS} dev "
+            f"claims; hashed-bigram index 2^24 buckets; contrastive encoder = "
+            f"reference shapes (768 -> BiLSTM 3x256 bi -> 128, masked mean), "
+            f"{STEPS} steps @ effective batch 256.\n\n"
+            "| metric | value |\n|---|---|\n"
+            + "".join(f"| {k} | {v} |\n" for k, v in results.items())
+            + "\nStage-2 variants: `dense_untrained` = random-init encoder, "
+            "`dense_uniform` = reference-style doc-pair training, "
+            "`dense_augment` = query->sentence augmented pairs (ours).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
