@@ -120,7 +120,7 @@ class WordPieceTokenizer:
         ta = self.tokenize(text_a)
         tb = self.tokenize(text_b) if text_b is not None else []
         # truncate (longest-first, like HF truncation='longest_first')
-        budget = max_length - (3 if tb else 2)
+        budget = max(max_length - (3 if tb else 2), 0)
         while len(ta) + len(tb) > budget:
             if len(ta) >= len(tb):
                 ta = ta[:-1]
