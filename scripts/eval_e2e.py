@@ -67,6 +67,8 @@ def main():
         learning_rate=2.5e-4,
     )
 
+    from ircl_tpu.pipeline.intrinsic import mean_claim_evidence_cosine
+
     def run_stage2(scorer, tag):
         t0 = time.time()
         res = retrieve(
@@ -77,6 +79,10 @@ def main():
             sentence_recall_at_k(wiki.claims, res.sentences, k=5), 4
         )
         results[f"stage2_{tag}_s"] = round(time.time() - t0, 1)
+        # intrinsic Table-1 analogue: mean cos(claim, gold evidence)
+        cos = mean_claim_evidence_cosine(scorer.embed, wiki.claims, wiki.sentences)
+        results[f"claim_evidence_cosine_{tag}"] = round(cos["mean_cosine"], 4)
+        results[f"shuffled_cosine_{tag}"] = round(cos["shuffled_cosine"], 4)
 
     # untrained dense baseline
     from ircl_tpu.contrastive.state import init_train_state
