@@ -87,6 +87,55 @@ class SimpleTokenizer:
         return Tokens(words, spans)
 
 
+class RegexpTokenizer:
+    """PTB-convention tokenizer (reference ``regexp_tokenizer.py`` provides
+    an equivalent; the live index pipeline never uses it — it exists for
+    users who want PTB-style tokens instead of ``simple`` ones).
+
+    Built independently from PTB conventions: contractions and possessives
+    split off ("don't" -> "do", "n't"), abbreviations and decimal numbers
+    stay whole, multi-char punctuation runs (``...``, ``--``) group.
+    """
+
+    PATTERN = r"""(?x)
+        \p{N}+(?:[.,]\p{N}+)*            # numbers incl. decimals/thousands
+      | (?:[A-Za-z]\.){2,}               # abbreviations like U.S.
+      | [\p{L}\p{M}]+(?='(?:[sSdDmM]|ll|LL|re|RE|ve|VE)\b)  # stem before 's 'll...
+      | [\p{L}\p{M}]+(?=[nN]'[tT]\b)     # stem before the n't clitic
+      | [nN]'[tT]\b                      # negation clitic
+      | '(?:[sSdDmM]|ll|LL|re|RE|ve|VE)\b  # the clitics themselves
+      | [\p{L}\p{M}\p{N}]+(?:[-'][\p{L}\p{M}\p{N}]+)*  # words w/ hyphens & inner apostrophes
+      | \.\.\.+ | --+                     # ellipses, dashes
+      | [^\p{Z}\p{C}]                     # any other visible char
+    """
+
+    def __init__(self):
+        self._regexp = regex.compile(
+            self.PATTERN, flags=regex.UNICODE + regex.MULTILINE
+        )
+
+    def tokenize(self, text: str) -> Tokens:
+        words, spans = [], []
+        for m in self._regexp.finditer(text):
+            words.append(m.group())
+            spans.append(m.span())
+        return Tokens(words, spans)
+
+
+_REGISTRY = {"simple": SimpleTokenizer, "regexp": RegexpTokenizer}
+
+
+def get_tokenizer(name: str):
+    """Name -> tokenizer instance (reference registry surface,
+    ``tokenizers/__init__.py:31-41``; 'spacy'/'corenlp' are not provided —
+    their backends don't exist in this environment and the reference's own
+    spacy import is broken)."""
+    try:
+        return _REGISTRY[name]()
+    except KeyError:
+        raise ValueError(f"invalid tokenizer: {name}") from None
+
+
 _DEFAULT_TOKENIZER: Optional[SimpleTokenizer] = None
 
 

@@ -146,3 +146,29 @@ def test_extract_sentences_accepts_and_rejects():
 
     assert extract_sentences("no trailing digit") is None
     assert extract_sentences("0\tOne .\n1\tTwo .\n2") is None  # length <= 2
+
+
+def test_regexp_tokenizer_ptb_conventions():
+    from ircl_tpu.corpus.tokenizer import get_tokenizer
+
+    t = get_tokenizer("regexp")
+    assert t.tokenize("Don't stop--we can't!").words() == [
+        "Do", "n't", "stop", "--", "we", "ca", "n't", "!",
+    ]
+    assert t.tokenize("The U.S. grew 3.5% in 2020...").words() == [
+        "The", "U.S.", "grew", "3.5", "%", "in", "2020", "...",
+    ]
+    assert t.tokenize("Tesco's state-of-the-art line").words() == [
+        "Tesco", "'s", "state-of-the-art", "line",
+    ]
+
+
+def test_tokenizer_registry():
+    import pytest as _pytest
+
+    from ircl_tpu.corpus.tokenizer import RegexpTokenizer, SimpleTokenizer, get_tokenizer
+
+    assert isinstance(get_tokenizer("simple"), SimpleTokenizer)
+    assert isinstance(get_tokenizer("regexp"), RegexpTokenizer)
+    with _pytest.raises(ValueError):
+        get_tokenizer("corenlp")
