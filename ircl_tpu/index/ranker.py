@@ -123,6 +123,7 @@ class TfidfRanker:
         df_threshold: int = 128,
         precision: str = "highest",  # "default": bf16 scores matmul (ranking
         #                               holds; scores drift ~0.2% rel)
+        width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
     ):
         self.precision = precision
         # fixed_* pin the compiled shapes for serving: every batch reuses one
@@ -146,19 +147,36 @@ class TfidfRanker:
         self._ell_terms = self._ell_vals = None
         self._ell_terms_t = self._ell_vals_t = None
         self._split = None
+        self._bucketed = None
         if mode == "hybrid":
-            from ircl_tpu.index.split import split_index
+            from ircl_tpu.index.split import bucket_heavy, split_index
             from ircl_tpu.ops.membership_pallas import pad_for_slab
 
             self._split = split_index(index, df_threshold=df_threshold)
-            tt, vt = pad_for_slab(
-                np.ascontiguousarray(self._split.heavy.terms.T),
-                np.ascontiguousarray(self._split.heavy.vals.T),
-                d_tile=256,
-            )
             put = lambda x: jax.device_put(x, device)
-            self._heavy_terms_t = put(tt)
-            self._heavy_vals_t = put(vt)
+            if width_buckets == 2:
+                bk = bucket_heavy(self._split.heavy)
+                self._bucketed = bk
+                ta, va = pad_for_slab(
+                    np.ascontiguousarray(bk.ell_a.terms.T),
+                    np.ascontiguousarray(bk.ell_a.vals.T),
+                    d_tile=256,
+                )
+                tb, vb = pad_for_slab(
+                    np.ascontiguousarray(bk.ell_b.terms.T),
+                    np.ascontiguousarray(bk.ell_b.vals.T),
+                    d_tile=256,
+                )
+                self._heavy_a = (put(ta), put(va))
+                self._heavy_b = (put(tb), put(vb))
+            else:
+                tt, vt = pad_for_slab(
+                    np.ascontiguousarray(self._split.heavy.terms.T),
+                    np.ascontiguousarray(self._split.heavy.vals.T),
+                    d_tile=256,
+                )
+                self._heavy_terms_t = put(tt)
+                self._heavy_vals_t = put(vt)
         if mode == "ell":
             from ircl_tpu.index.ell import to_ell
 
@@ -249,7 +267,7 @@ class TfidfRanker:
 
     def _closest_hybrid_async(self, queries: Sequence[str], k: int):
         from ircl_tpu.index.split import gather_light_pools
-        from ircl_tpu.ops.hybrid import hybrid_topk
+        from ircl_tpu.ops.hybrid import hybrid_topk, hybrid_topk_bucketed
         from ircl_tpu.ops.membership_pallas import pad_for_slab
 
         buckets, weights = self._vectorize(queries)
@@ -267,6 +285,22 @@ class TfidfRanker:
             self._split, buckets, weights
         )
         interpret = jax.default_backend() == "cpu"
+        if self._bucketed is not None:
+            ld = self._bucketed.old2pos[
+                np.minimum(light_docs, self._split.num_docs)
+            ]
+            return hybrid_topk_bucketed(
+                *self._heavy_a,
+                *self._heavy_b,
+                jnp.asarray(u_pad),
+                jnp.asarray(qb_t),
+                jnp.asarray(qw_t),
+                jnp.asarray(ld),
+                jnp.asarray(light_contribs),
+                k=k,
+                interpret=interpret,
+                precision=self.precision,
+            )
         return hybrid_topk(
             self._heavy_terms_t,
             self._heavy_vals_t,
@@ -284,7 +318,15 @@ class TfidfRanker:
     def _closest_hybrid(self, queries: Sequence[str], k: int):
         scores, doc_idx = self._closest_hybrid_async(queries, k)
         b = len(queries)
-        return np.asarray(scores)[:b], np.asarray(doc_idx)[:b]
+        scores = np.asarray(scores)[:b]
+        doc_idx = np.asarray(doc_idx)[:b]
+        if self._bucketed is not None:
+            # permuted-space positions -> original doc ids
+            valid = doc_idx >= 0
+            doc_idx = np.where(
+                valid, self._bucketed.pos2old[np.maximum(doc_idx, 0)], -1
+            )
+        return scores, doc_idx
 
     def closest_docs_batch(
         self, queries: Sequence[str], k: int = 5

@@ -81,6 +81,73 @@ def split_index(index: CountIndex, df_threshold: int = 128) -> SplitIndex:
     )
 
 
+@dataclass
+class BucketedHeavy:
+    """Heavy ELL split into width buckets (docs sorted by heavy term count).
+
+    Slab compare cost is U * N * K with K padded to the per-bucket max;
+    splitting at a width quantile removes most padding work (the bulk of
+    docs are much narrower than the max). Positions are permuted:
+    ``pos2old`` maps a device-space position (concatenated, padded buckets)
+    back to the original doc id (-1 for padding slots); ``old2pos`` maps the
+    other way (light pools are remapped through it before upload).
+    """
+
+    ell_a: EllIndex  # narrow bucket (permuted order)
+    ell_b: EllIndex  # wide bucket
+    pos2old: np.ndarray  # [Na_pad + Nb_pad] int32, -1 at pads
+    old2pos: np.ndarray  # [num_docs + 1] int32 (last entry: pad target 0)
+
+
+def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
+    widths = (heavy.terms >= 0).sum(axis=1)
+    order = np.argsort(widths, kind="stable")
+    sw = widths[order]
+    n = len(order)
+
+    def padded(x, m):
+        return -(-max(x, 1) // m) * m
+
+    # choose the cut minimizing padded compare work Na*Ka + Nb*Kb
+    best = (None, None)
+    for q in (0.5, 0.65, 0.8, 0.9, 0.95, 1.0):
+        cut = min(max(int(n * q), 1), n)
+        ka = int(sw[cut - 1]) if cut else 1
+        kb = int(sw[-1]) if cut < n else 1
+        cost = padded(cut, d_tile) * max(ka, 1) + (
+            padded(n - cut, d_tile) * max(kb, 1) if cut < n else 0
+        )
+        if best[0] is None or cost < best[0]:
+            best = (cost, cut)
+    cut = best[1]
+
+    def subset(idxs, k_width):
+        k_width = max(int(k_width), 1)
+        terms = heavy.terms[idxs][:, :k_width]
+        vals = heavy.vals[idxs][:, :k_width]
+        return EllIndex(
+            terms=np.ascontiguousarray(terms),
+            vals=np.ascontiguousarray(vals),
+            num_docs=len(idxs),
+            hash_size=heavy.hash_size,
+        )
+
+    a_idx, b_idx = order[:cut], order[cut:]
+    ell_a = subset(a_idx, sw[cut - 1] if cut else 1)
+    ell_b = subset(b_idx, sw[-1] if cut < n else 1)
+
+    na_pad = padded(len(a_idx), d_tile)
+    nb_pad = padded(len(b_idx), d_tile)
+    pos2old = np.full(na_pad + nb_pad, -1, dtype=np.int32)
+    pos2old[: len(a_idx)] = a_idx
+    pos2old[na_pad : na_pad + len(b_idx)] = b_idx
+    old2pos = np.zeros(heavy.num_docs + 1, dtype=np.int32)
+    old2pos[a_idx] = np.arange(len(a_idx), dtype=np.int32)
+    old2pos[b_idx] = na_pad + np.arange(len(b_idx), dtype=np.int32)
+    old2pos[-1] = 0  # light-pool padding target (zero contribution)
+    return BucketedHeavy(ell_a=ell_a, ell_b=ell_b, pos2old=pos2old, old2pos=old2pos)
+
+
 def gather_light_pools(
     split: SplitIndex,
     buckets: np.ndarray,  # [B, T] int32 query buckets

@@ -24,45 +24,15 @@ import jax.numpy as jnp
 from ircl_tpu.ops.membership_pallas import membership_slab
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "num_real_docs", "interpret", "precision")
-)
-def hybrid_topk(
-    heavy_terms_t: jnp.ndarray,  # [K_h, N_pad] int32 (pad -1)
-    heavy_vals_t: jnp.ndarray,  # [K_h, N_pad] f32
-    u_sorted: jnp.ndarray,  # [U_h] int32 heavy union slots (sentinel pad)
-    qb_t: jnp.ndarray,  # [T8, B_pad] int32 heavy query buckets
-    qw_t: jnp.ndarray,  # [T8, B_pad] f32 heavy query weights
-    light_docs: jnp.ndarray,  # [B, P] int32 light posting docs (pad = num_real_docs)
-    light_contribs: jnp.ndarray,  # [B, P] f32 light w*val contributions
+def _merge_light(
+    h: jnp.ndarray,  # [B, N_pad] exact heavy scores
+    light_docs: jnp.ndarray,  # [B, P] int32 (pads: any in-range id, contrib 0)
+    light_contribs: jnp.ndarray,  # [B, P] f32
     k: int,
     num_real_docs: int,
-    interpret: bool = False,
-    precision: str = "highest",  # "highest" (score parity) | "default" (bf16)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, P = light_docs.shape
-    n_pad = heavy_terms_t.shape[1]
-    u_tile = min(512, u_sorted.shape[0])
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
-
-    # ---- heavy dense scores ------------------------------------------------
-    m = membership_slab(
-        u_sorted, heavy_terms_t, heavy_vals_t, u_tile=u_tile, d_tile=256,
-        interpret=interpret,
-    )  # [U_h, N_pad]
-    wt = membership_slab(
-        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
-    )  # [U_h, B_pad]
-    h = jax.lax.dot_general(
-        wt, m, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )[:B]  # [B, N_pad]
-
+    n_pad = h.shape[1]
     kk = min(k, n_pad)
     h_s, h_i = jax.lax.top_k(h, kk)
 
@@ -87,6 +57,10 @@ def hybrid_topk(
     )
     l_tot = csum - prev_csum  # valid at run ends
 
+    # Pool padding may carry any in-range doc id with zero contribution: its
+    # candidate total collapses to H[d] + 0, and the duplicate mask below
+    # removes the heavy-only entry for that doc, so totals stay exact and
+    # zero-score rows are filtered at the end.
     real = sd < num_real_docs
     h_at_light = jnp.take_along_axis(
         h, jnp.clip(sd, 0, n_pad - 1), axis=1
@@ -109,3 +83,96 @@ def hybrid_topk(
         jnp.where(empty, 0.0, top_s),
         jnp.where(empty, -1, top_i.astype(jnp.int32)),
     )
+
+
+def _heavy_scores(u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b):
+    u_tile = min(512, u_sorted.shape[0])
+    m = membership_slab(
+        u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=256,
+        interpret=interpret,
+    )  # [U_h, N_pad]
+    wt = membership_slab(
+        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
+    )  # [U_h, B_pad]
+    return jax.lax.dot_general(
+        wt, m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "num_real_docs", "interpret", "precision")
+)
+def hybrid_topk(
+    heavy_terms_t: jnp.ndarray,  # [K_h, N_pad] int32 (pad -1)
+    heavy_vals_t: jnp.ndarray,  # [K_h, N_pad] f32
+    u_sorted: jnp.ndarray,  # [U_h] int32 heavy union slots (sentinel pad)
+    qb_t: jnp.ndarray,  # [T8, B_pad] int32 heavy query buckets
+    qw_t: jnp.ndarray,  # [T8, B_pad] f32 heavy query weights
+    light_docs: jnp.ndarray,  # [B, P] int32 light posting docs
+    light_contribs: jnp.ndarray,  # [B, P] f32 light w*val contributions
+    k: int,
+    num_real_docs: int,
+    interpret: bool = False,
+    precision: str = "highest",  # "highest" (score parity) | "default" (bf16)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    h = _heavy_scores(
+        u_sorted, heavy_terms_t, heavy_vals_t, qb_t, qw_t, interpret, prec,
+        light_docs.shape[0],
+    )
+    return _merge_light(h, light_docs, light_contribs, k, num_real_docs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "precision")
+)
+def hybrid_topk_bucketed(
+    terms_a: jnp.ndarray,  # [K_a, Na_pad] narrow-doc bucket (k-major)
+    vals_a: jnp.ndarray,
+    terms_b: jnp.ndarray,  # [K_b, Nb_pad] wide-doc bucket
+    vals_b: jnp.ndarray,
+    u_sorted: jnp.ndarray,
+    qb_t: jnp.ndarray,
+    qw_t: jnp.ndarray,
+    light_docs: jnp.ndarray,  # [B, P] ids in the PERMUTED doc space
+    light_contribs: jnp.ndarray,
+    k: int,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Width-bucketed heavy slab: docs sorted by heavy width and split into a
+    narrow bucket (small K_a — the bulk) and a wide bucket, eliminating most
+    ELL padding compares. Returned ids live in the permuted space (positions
+    into [bucket_a | bucket_b]); callers map back through the permutation.
+    Padding positions score 0 and are filtered; real-doc masking is by score,
+    not position."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    u_tile = min(512, u_sorted.shape[0])
+    ma = membership_slab(
+        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
+    )
+    mb = membership_slab(
+        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
+    )
+    wt = membership_slab(
+        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
+    )
+    m = jnp.concatenate([ma, mb], axis=1)  # [U, Na_pad + Nb_pad]
+    h = jax.lax.dot_general(
+        wt, m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )[: light_docs.shape[0]]
+    # positional real-mask is meaningless in permuted space; zero-score
+    # filtering inside _merge_light handles pads.
+    return _merge_light(h, light_docs, light_contribs, k, h.shape[1])

@@ -103,8 +103,8 @@ def pad_for_slab(terms_t, contrib_t, d_tile: int, k_multiple: int = 8):
     import numpy as np
 
     k_width, n = terms_t.shape
-    k_pad = -(-k_width // k_multiple) * k_multiple - k_width
-    n_pad = -(-n // d_tile) * d_tile - n
+    k_pad = max(-(-k_width // k_multiple) * k_multiple, k_multiple) - k_width
+    n_pad = max(-(-n // d_tile) * d_tile, d_tile) - n  # empty inputs pad to one tile
     if k_pad or n_pad:
         terms_t = np.pad(terms_t, ((0, k_pad), (0, n_pad)), constant_values=-1)
         contrib_t = np.pad(contrib_t, ((0, k_pad), (0, n_pad)), constant_values=0.0)

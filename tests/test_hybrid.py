@@ -81,3 +81,37 @@ def test_auto_mode_selects_hybrid_for_large_corpus(setup):
         assert TfidfRanker(index).mode == "hybrid"
     finally:
         TfidfRanker.ELL_MAX_DOCS = old
+
+
+@pytest.mark.parametrize("threshold", [4, 16])
+def test_bucketed_hybrid_matches_ell(setup, threshold):
+    index, claims = setup
+    r_ell = TfidfRanker(index, mode="ell")
+    r_bk = TfidfRanker(
+        index, mode="hybrid", df_threshold=threshold, width_buckets=2
+    )
+    out_e = r_ell.closest_docs_batch(claims, k=5)
+    out_b = r_bk.closest_docs_batch(claims, k=5)
+    for qi, ((ids_e, s_e), (ids_b, s_b)) in enumerate(zip(out_e, out_b)):
+        assert len(ids_e) == len(ids_b), f"query {qi}"
+        np.testing.assert_allclose(s_b, s_e, rtol=1e-4, atol=1e-6)
+        assert set(ids_b) == set(ids_e) or np.allclose(
+            sorted(s_b), sorted(s_e), rtol=1e-4
+        )
+
+
+def test_bucket_heavy_partition(setup):
+    from ircl_tpu.index.split import bucket_heavy, split_index
+
+    index, _ = setup
+    split = split_index(index, df_threshold=8)
+    bk = bucket_heavy(split.heavy)
+    n = split.heavy.num_docs
+    # every doc appears exactly once across buckets
+    old = bk.pos2old[bk.pos2old >= 0]
+    assert sorted(old.tolist()) == list(range(n))
+    # old2pos inverts pos2old
+    for o in old[:50]:
+        assert bk.pos2old[bk.old2pos[o]] == o
+    # narrow bucket width <= wide bucket width
+    assert bk.ell_a.k_width <= max(bk.ell_b.k_width, bk.ell_a.k_width)
