@@ -122,9 +122,10 @@ def main():
         if ranker.mode == "hybrid"
         else ranker._closest_ell_async
     )
-    # best-of-3 rounds: the shared host/tunnel environment is noisy.
+    # best-of-5 rounds: the shared host/tunnel environment is noisy and
+    # warms over the first rounds (lazy uploads).
     tpu_qps = 0.0
-    for r in range(3):
+    for r in range(5):
         t0 = time.time()
         pending = [async_fn(claims, K) for _ in range(reps)]
         _jax.block_until_ready(pending)
