@@ -21,7 +21,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ircl_tpu.ops.membership_pallas import membership_slab
+from ircl_tpu.ops.membership_pallas import (
+    membership_slab,
+    membership_slab_windowed,
+)
 
 
 def _merge_light(
@@ -87,7 +90,8 @@ def _merge_light(
 
 def _heavy_scores(u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b):
     u_tile = min(512, u_sorted.shape[0])
-    m = membership_slab(
+    # doc-side slab: value-range windowed (rows sorted ascending), exact
+    m = membership_slab_windowed(
         u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=256,
         interpret=interpret,
     )  # [U_h, N_pad]
@@ -158,10 +162,10 @@ def hybrid_topk_bucketed(
         else jax.lax.Precision.DEFAULT
     )
     u_tile = min(512, u_sorted.shape[0])
-    ma = membership_slab(
+    ma = membership_slab_windowed(
         u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
     )
-    mb = membership_slab(
+    mb = membership_slab_windowed(
         u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
     )
     wt = membership_slab(

@@ -98,6 +98,92 @@ def membership_slab(
     )(u_sorted.reshape(1, -1), terms_t, contrib_t)
 
 
+def _windowed_slab_kernel(u_ref, ks_ref, ke_ref, terms_ref, contrib_ref, m_ref):
+    """Windowed variant: ELL rows are sorted ascending (pads trail), so for a
+    u-tile covering the value range [lo, hi] only the k-window
+    [min-over-tile-docs #(t < lo), max-over-tile-docs #(t <= hi)) can match.
+    The (per grid cell) window bounds arrive as SMEM scalars; everything
+    outside is skipped — with T total u-tiles each doc term participates in
+    exactly one, cutting compare work by ~T/(1 + spread)."""
+    u_vals = u_ref[0, :]
+    u_t = m_ref.shape[0]
+    d_t = m_ref.shape[1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ks = ks_ref[j, i]
+    ke = ke_ref[j, i]
+
+    def body(k, acc):
+        t = terms_ref[k, :]
+        v = contrib_ref[k, :]
+        eq = (t[None, :] == u_vals[:, None]).astype(jnp.float32)
+        return acc + eq * v[None, :]
+
+    m_ref[:, :] = jax.lax.fori_loop(
+        ks, ke, body, jnp.zeros((u_t, d_t), jnp.float32)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("u_tile", "d_tile", "interpret")
+)
+def membership_slab_windowed(
+    u_sorted: jnp.ndarray,  # [U] int32 sorted union ids (sentinel-padded)
+    terms_t: jnp.ndarray,  # [K, N] int32 raw term ids, ascending per doc,
+    #                         pads (-1) trailing
+    contrib_t: jnp.ndarray,  # [K, N] f32
+    u_tile: int = 512,
+    d_tile: int = 256,
+    interpret: bool = False,
+):
+    """Value-range-windowed membership slab (exact, faster for K >> K/T)."""
+    k_width, n = terms_t.shape
+    u = u_sorted.shape[0]
+    assert u % u_tile == 0 and n % d_tile == 0, (u, n, u_tile, d_tile)
+    assert k_width % 8 == 0, k_width
+    n_ut = u // u_tile
+    n_dt = n // d_tile
+
+    lo = u_sorted[::u_tile]  # [n_ut]
+    hi = u_sorted[u_tile - 1 :: u_tile]  # [n_ut]
+    real = terms_t >= 0
+    # per-doc window positions within the sorted real-term prefix
+    lt = jnp.sum(
+        (terms_t[:, :, None] < lo[None, None, :]) & real[:, :, None],
+        axis=0,
+        dtype=jnp.int32,
+    )  # [N, n_ut]
+    le = jnp.sum(
+        (terms_t[:, :, None] <= hi[None, None, :]) & real[:, :, None],
+        axis=0,
+        dtype=jnp.int32,
+    )
+    ks = lt.reshape(n_dt, d_tile, n_ut).min(axis=1)  # [n_dt, n_ut]
+    ke = le.reshape(n_dt, d_tile, n_ut).max(axis=1)
+
+    return pl.pallas_call(
+        _windowed_slab_kernel,
+        grid=(n_ut, n_dt),
+        in_specs=[
+            pl.BlockSpec((1, u_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            # window tables live whole in SMEM; the kernel indexes by grid ids
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (k_width, d_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_width, d_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (u_tile, d_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((u, n), jnp.float32),
+        interpret=interpret,
+    )(u_sorted.reshape(1, -1), ks, ke, terms_t, contrib_t)
+
+
 def pad_for_slab(terms_t, contrib_t, d_tile: int, k_multiple: int = 8):
     """Host-side padding of k-major arrays to kernel tile multiples."""
     import numpy as np
