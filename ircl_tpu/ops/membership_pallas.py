@@ -110,8 +110,9 @@ def _windowed_slab_kernel(u_ref, ks_ref, ke_ref, terms_ref, contrib_ref, m_ref):
     d_t = m_ref.shape[1]
     i = pl.program_id(0)
     j = pl.program_id(1)
-    ks = ks_ref[j, i]
-    ke = ke_ref[j, i]
+    # tables are flat [n_dt * n_ut] (2-D SMEM arrays pad the lane dim to 128)
+    ks = ks_ref[j * pl.num_programs(0) + i]
+    ke = ke_ref[j * pl.num_programs(0) + i]
 
     def body(k, acc):
         t = terms_ref[k, :]
@@ -158,8 +159,8 @@ def membership_slab_windowed(
         axis=0,
         dtype=jnp.int32,
     )
-    ks = lt.reshape(n_dt, d_tile, n_ut).min(axis=1)  # [n_dt, n_ut]
-    ke = le.reshape(n_dt, d_tile, n_ut).max(axis=1)
+    ks = lt.reshape(n_dt, d_tile, n_ut).min(axis=1).reshape(-1)  # [n_dt*n_ut]
+    ke = le.reshape(n_dt, d_tile, n_ut).max(axis=1).reshape(-1)
 
     return pl.pallas_call(
         _windowed_slab_kernel,
