@@ -88,8 +88,14 @@ def _merge_light(
     )
 
 
+def _u_tile(u: int) -> int:
+    """At least 4 u-tiles when the union allows it, so the value-range
+    windows can skip work even for small heavy unions (e.g. 512 at 1M docs)."""
+    return max(128, min(512, u // 4))
+
+
 def _heavy_scores(u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b):
-    u_tile = min(512, u_sorted.shape[0])
+    u_tile = _u_tile(u_sorted.shape[0])
     # doc-side slab: value-range windowed (rows sorted ascending), exact
     m = membership_slab_windowed(
         u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=256,
@@ -161,7 +167,7 @@ def hybrid_topk_bucketed(
         if precision == "highest"
         else jax.lax.Precision.DEFAULT
     )
-    u_tile = min(512, u_sorted.shape[0])
+    u_tile = _u_tile(u_sorted.shape[0])
     ma = membership_slab_windowed(
         u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
     )
