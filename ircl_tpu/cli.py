@@ -343,7 +343,9 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train")
     t.add_argument("--loss", choices=["InfoNCE", "ProtoNCE", "HProtoNCE"])
     t.add_argument("--opt", choices=["adam", "sgd"])
-    t.add_argument("--sample", choices=["uniform", "tf_idf"], default="uniform")
+    t.add_argument(
+        "--sample", choices=["uniform", "tf_idf", "augment"], default="uniform"
+    )
     t.add_argument("--seed", type=int, default=1337)
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--log-step", type=int, default=1000)
