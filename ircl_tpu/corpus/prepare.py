@@ -87,11 +87,18 @@ def prepare_synthetic(
     num_docs: int = 1000,
     num_claims: int = 200,
     seed: int = 0,
+    refute_fraction: float = 0.3,
 ):
-    """Materialize a synthetic wiki + dev claims in the FEVER file layout."""
+    """Materialize a synthetic wiki + dev claims in the FEVER file layout.
+    A fraction of claims is REFUTES (marker + corrupted content words; the
+    entity tokens stay, so retrieval recall is unaffected) to give the
+    verdict classifier a real 2-class problem."""
     from ircl_tpu.corpus.synthetic import generate
 
-    wiki = generate(num_docs=num_docs, num_claims=num_claims, seed=seed)
+    wiki = generate(
+        num_docs=num_docs, num_claims=num_claims, seed=seed,
+        refute_fraction=refute_fraction,
+    )
     os.makedirs(data_dir, exist_ok=True)
     wiki_path = os.path.join(data_dir, "small_wiki.json")
     with open(wiki_path, "w", encoding="utf-8") as f:

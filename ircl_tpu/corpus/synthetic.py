@@ -47,6 +47,7 @@ def generate(
     vocab_common: int = 400,
     num_claims: int = 100,
     claim_keep_prob: float = 0.6,
+    refute_fraction: float = 0.0,
     seed: int = 0,
 ) -> SyntheticWiki:
     """Build a synthetic wiki + claims with gold evidence.
@@ -94,9 +95,21 @@ def generate(
             if rng.random() < claim_keep_prob or w[-1].isdigit()
         ]
         noise = list(rng.choice(common, size=3, p=probs))
+        # Refuted claims keep the evidence-sharing entity tokens (retrieval
+        # recall is unaffected) but carry a contradiction marker + corrupted
+        # content words — a learnable 2-class verdict signal.
+        label = "SUPPORTS"
+        if rng.random() < refute_fraction:
+            label = "REFUTES"
+            kept = [
+                w if w[-1].isdigit() or rng.random() < 0.5
+                else str(rng.choice(common, p=probs))
+                for w in kept
+            ]
+            kept.append("kontradikto")
         claim_text = " ".join(kept + noise) + " ."
         claims.append(
-            Claim(id=c, claim=claim_text, label="SUPPORTS", evidences={doc_id: [si]})
+            Claim(id=c, claim=claim_text, label=label, evidences={doc_id: [si]})
         )
 
     return SyntheticWiki(docs=docs, sentences=sentences, claims=claims)
