@@ -90,10 +90,17 @@ def main():
     state0 = init_train_state(jax.random.PRNGKey(0), cfg)
     run_stage2(ContrastiveSentenceScorer(cfg, feat, state0), "dense_untrained")
 
-    # trained (augment + uniform)
+    # trained (augment + uniform + tf_idf = the reference's TFIDF-CL)
     docs = list(wiki.sentences.values())
-    for mode in ("augment", "uniform"):
-        sampler = DocPairSampler(docs, sample=mode, seed=7)
+    from ircl_tpu.data.similarity import sentence_pair_similarity
+
+    sim = None
+    for mode in ("augment", "uniform", "tf_idf"):
+        if mode == "tf_idf" and sim is None:
+            t0 = time.time()
+            sim = sentence_pair_similarity(docs)
+            results["similarity_prep_s"] = round(time.time() - t0, 1)
+        sampler = DocPairSampler(docs, sample=mode, similarity=sim, seed=7)
         with tempfile.TemporaryDirectory() as td:
             tr = ContrastiveTrainer(
                 cfg, feat, sampler, ckptdir=td + "/c", logdir=td + "/l"
