@@ -267,7 +267,10 @@ class TfidfRanker:
 
     def _closest_hybrid_async(self, queries: Sequence[str], k: int):
         from ircl_tpu.index.split import gather_light_pools
-        from ircl_tpu.ops.hybrid import hybrid_topk, hybrid_topk_bucketed
+        from ircl_tpu.ops.hybrid import (
+            hybrid_topk,
+            hybrid_topk_bucketed_fused,
+        )
         from ircl_tpu.ops.membership_pallas import pad_for_slab
 
         buckets, weights = self._vectorize(queries)
@@ -289,7 +292,7 @@ class TfidfRanker:
             ld = self._bucketed.old2pos[
                 np.minimum(light_docs, self._split.num_docs)
             ]
-            return hybrid_topk_bucketed(
+            return hybrid_topk_bucketed_fused(
                 *self._heavy_a,
                 *self._heavy_b,
                 jnp.asarray(u_pad),

@@ -142,6 +142,73 @@ def hybrid_topk(
 @functools.partial(
     jax.jit, static_argnames=("k", "interpret", "precision")
 )
+def hybrid_topk_bucketed_fused(
+    terms_a: jnp.ndarray,
+    vals_a: jnp.ndarray,
+    terms_b: jnp.ndarray,
+    vals_b: jnp.ndarray,
+    u_sorted: jnp.ndarray,
+    qb_t: jnp.ndarray,
+    qw_t: jnp.ndarray,
+    light_docs: jnp.ndarray,  # [B, P] ids in the PERMUTED doc space
+    light_contribs: jnp.ndarray,
+    k: int,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fully fused variant: scores stay transposed ([N, B]) and the light
+    pools are added straight into them by the ``light_add_t`` Pallas kernel —
+    no gather, no candidate merge. Exact totals; one top-k."""
+    from ircl_tpu.ops.light_add_pallas import light_add_t
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    u_tile = _u_tile(u_sorted.shape[0])
+    ma = membership_slab_windowed(
+        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
+    )
+    mb = membership_slab_windowed(
+        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
+    )
+    wt = membership_slab(
+        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
+    )
+    m = jnp.concatenate([ma, mb], axis=1)  # [U, N_pad]
+    h_t = jax.lax.dot_general(
+        m, wt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [N_pad, B_pad]
+
+    B = light_docs.shape[0]
+    b_pad = -(-B // 128) * 128
+    order = jnp.argsort(light_docs, axis=1)
+    sd = jnp.take_along_axis(light_docs, order, axis=1)
+    sv = jnp.take_along_axis(light_contribs, order, axis=1)
+    if b_pad != B:
+        sd = jnp.pad(sd, ((0, b_pad - B), (0, 0)))
+        sv = jnp.pad(sv, ((0, b_pad - B), (0, 0)))
+    h_t = h_t[:, :b_pad]
+
+    h2 = light_add_t(
+        h_t, sd.T, sv.T, b_tile=128, d_tile=256, interpret=interpret
+    )  # [N_pad, b_pad]
+
+    scores = h2.T[:B]  # [B, N_pad]
+    top_s, top_i = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    empty = top_s <= 0.0
+    return (
+        jnp.where(empty, 0.0, top_s),
+        jnp.where(empty, -1, top_i.astype(jnp.int32)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "precision")
+)
 def hybrid_topk_bucketed(
     terms_a: jnp.ndarray,  # [K_a, Na_pad] narrow-doc bucket (k-major)
     vals_a: jnp.ndarray,

@@ -1,0 +1,100 @@
+"""Pallas kernel: add per-query light posting pools into dense scores.
+
+Completes the hybrid engine without any gather/scatter: instead of gathering
+``H`` at light-candidate positions and merging candidate lists
+(``ops/hybrid._merge_light``), this kernel adds every light contribution
+directly into the dense score matrix:
+
+    H'[d, b] = H[d, b] + sum_p contribs[p, b] * (docs[p, b] == d)
+
+Scores are batch-on-lanes (``H_T [N, B]``) so the dynamic pool index ``p``
+lands on the sublane axis (Mosaic cannot index lanes dynamically). Pools are
+doc-sorted per query; for a d-tile covering [d0, d0 + D) only the pool
+window [#(doc < d0), #(doc < d0 + D)) can match, so an XLA searchsorted
+pre-pass supplies per-(d-tile, b-tile) window bounds and the kernel loops
+only that (tiny, ~pool*D/N) window doing [D, B_T] broadcast-compare adds.
+Top-k over H'^T then yields exact totals with no candidate bookkeeping.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _light_add_kernel(lo_ref, hi_ref, docs_ref, contribs_ref, h_ref, out_ref):
+    """Grid (d_tiles, b_tiles).
+
+    lo_ref/hi_ref: flat [n_dt * n_bt] int32 window bounds (SMEM)
+    docs_ref/contribs_ref: [P, B_T] pool slices (doc-sorted along P)
+    h_ref/out_ref: [D, B_T] transposed score tiles
+    """
+    i = pl.program_id(0)  # d tile
+    j = pl.program_id(1)  # b tile
+    d_t = h_ref.shape[0]
+    b_t = h_ref.shape[1]
+    d0 = i * d_t
+    lo = lo_ref[i * pl.num_programs(1) + j]
+    hi = hi_ref[i * pl.num_programs(1) + j]
+
+    d_iota = d0 + jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
+
+    def body(p, acc):
+        docs = docs_ref[p, :]  # [B_T]
+        vals = contribs_ref[p, :]
+        eq = (docs[None, :] == d_iota).astype(jnp.float32)
+        return acc + eq * vals[None, :]
+
+    out_ref[:, :] = jax.lax.fori_loop(lo, hi, body, h_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("b_tile", "d_tile", "interpret"))
+def light_add_t(
+    h_t: jnp.ndarray,  # [N_pad, B] f32 transposed heavy scores
+    docs_t: jnp.ndarray,  # [P, B] int32 pool docs, ascending along P
+    contribs_t: jnp.ndarray,  # [P, B] f32
+    b_tile: int = 128,
+    d_tile: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """H_T + light contributions, dense and exact.
+    N_pad % d_tile == 0 and B % b_tile == 0 (callers pad)."""
+    n_pad, B = h_t.shape
+    P = docs_t.shape[0]
+    assert B % b_tile == 0 and n_pad % d_tile == 0, (B, n_pad, b_tile, d_tile)
+    n_dt = n_pad // d_tile
+    n_bt = B // b_tile
+
+    # window bounds per (row b, d-tile) via vectorized counts, then tile
+    # min/max over each b-tile; flattened for SMEM (lane padding economics).
+    bounds = jnp.arange(0, n_pad + 1, d_tile, dtype=jnp.int32)  # [n_dt + 1]
+    counts = jnp.sum(
+        docs_t[:, :, None] < bounds[None, None, :], axis=0, dtype=jnp.int32
+    )  # [B, n_dt + 1]
+    lo = counts[:, :-1].reshape(n_bt, b_tile, n_dt).min(axis=1)  # [n_bt, n_dt]
+    hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(axis=1)
+    lo = lo.T.reshape(-1)  # [n_dt * n_bt]
+    hi = hi.T.reshape(-1)
+
+    return pl.pallas_call(
+        _light_add_kernel,
+        grid=(n_dt, n_bt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
+        interpret=interpret,
+    )(lo, hi, docs_t, contribs_t, h_t)
