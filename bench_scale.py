@@ -105,12 +105,14 @@ def main():
     # TPU hybrid path, driven through the ranker internals with prebuilt
     # query vectors (queries are synthetic buckets, not text).
     from ircl_tpu.index.split import gather_light_pools
-    from ircl_tpu.ops.hybrid import hybrid_topk
+    from ircl_tpu.ops.hybrid import hybrid_topk_bucketed
     from ircl_tpu.ops.membership_pallas import pad_for_slab
     import jax.numpy as jnp
 
     t0 = time.time()
-    ranker = TfidfRanker(index, mode="hybrid", df_threshold=256)
+    ranker = TfidfRanker(
+        index, mode="hybrid", df_threshold=256, width_buckets=2
+    )
     log(f"device index built in {time.time()-t0:.0f}s (K_h={ranker._split.heavy.k_width})")
 
     heavy_q = ranker._split.doc_freqs[qb] > ranker._split.df_threshold
@@ -122,17 +124,18 @@ def main():
     ld, lc, pool = gather_light_pools(ranker._split, qb, qw)
     log(f"U_h={len(u_pad)}, light pool width={pool}")
 
+    ldp = ranker._bucketed.old2pos[np.minimum(ld, NUM_DOCS)]
+
     def run():
-        return hybrid_topk(
-            ranker._heavy_terms_t,
-            ranker._heavy_vals_t,
+        return hybrid_topk_bucketed(
+            *ranker._heavy_a,
+            *ranker._heavy_b,
             jnp.asarray(u_pad),
             jnp.asarray(qb_t),
             jnp.asarray(qw_t),
-            jnp.asarray(ld),
+            jnp.asarray(ldp),
             jnp.asarray(lc),
             k=K,
-            num_real_docs=NUM_DOCS,
         )
 
     t0 = time.time()
@@ -141,6 +144,7 @@ def main():
     i = np.asarray(i)
     log(f"first batch (compile) {time.time()-t0:.0f}s")
 
+    pos2old = ranker._bucketed.pos2old
     mismatches = 0
     for b in range(n_cpu):
         ref_ids, ref_scores = cpu_results[b]

@@ -269,6 +269,7 @@ class TfidfRanker:
         from ircl_tpu.index.split import gather_light_pools
         from ircl_tpu.ops.hybrid import (
             hybrid_topk,
+            hybrid_topk_bucketed,
             hybrid_topk_bucketed_fused,
         )
         from ircl_tpu.ops.membership_pallas import pad_for_slab
@@ -292,7 +293,14 @@ class TfidfRanker:
             ld = self._bucketed.old2pos[
                 np.minimum(light_docs, self._split.num_docs)
             ]
-            return hybrid_topk_bucketed_fused(
+            # the fused light-add kernel re-streams pool blocks per doc-tile;
+            # past ~200K docs that traffic outweighs the gather it replaces.
+            fn = (
+                hybrid_topk_bucketed_fused
+                if self.dev.num_docs <= 200_000
+                else hybrid_topk_bucketed
+            )
+            return fn(
                 *self._heavy_a,
                 *self._heavy_b,
                 jnp.asarray(u_pad),
