@@ -88,7 +88,7 @@ def main():
     # ---- TPU path ---------------------------------------------------------
     # Pinned serving shapes: one compiled executable for every batch.
     ranker = TfidfRanker(
-        index, mode="hybrid", df_threshold=64, width_buckets=2,
+        index, mode="hybrid", df_threshold=32, width_buckets=2,
         fixed_union_cap=4096, fixed_max_terms=64,
     )
     # warmup / compile
