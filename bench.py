@@ -41,7 +41,7 @@ def main():
     from ircl_tpu.index.tfidf import tfidf_transform
 
     NUM_DOCS = 50_000
-    NUM_CLAIMS = 1024
+    NUM_CLAIMS = 2048
     HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
     K = 5
 
