@@ -95,10 +95,18 @@ def cmd_build_index(args):
     print(f"count index -> {out}\ntf-idf index -> {out_t} ({index.nnz} postings)")
 
 
-def _featurizer(cfg):
-    from ircl_tpu.models.featurizer import HashEmbedFeaturizer
+def _featurizer(cfg, corpus_texts=None):
+    """Config-selected featurizer (``featurizer.kind``: hash | transformer |
+    hf). The transformer kind trains its WordPiece vocab from the wiki corpus
+    — deterministic, so train and retrieve rebuild the identical vocab."""
+    from ircl_tpu.models.featurizer import make_featurizer
 
-    return HashEmbedFeaturizer(cfg.featurizer)
+    if cfg.featurizer.kind != "hash" and corpus_texts is None:
+        from ircl_tpu.corpus import fever
+
+        wiki = fever.load_wiki_json(cfg.data.wiki_json)
+        corpus_texts = [r.get("text", "") for r in wiki.values()]
+    return make_featurizer(cfg.featurizer, corpus_texts)
 
 
 def cmd_train(args):

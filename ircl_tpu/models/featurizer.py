@@ -10,11 +10,16 @@ featurizer is an explicit interface with swappable implementations
   addressed by murmur3 token hashes + sinusoidal positions. Frozen by
   construction, fully offline, and — like frozen BERT — a fixed text->R^{LxD}
   map the contrastive head learns on top of.
-- ``transformer.BertEncoder`` (see ``models/transformer.py``): the full
-  architecture, usable once weights exist locally.
+- ``TransformerFeaturizer``: the reference's actual architecture — a frozen
+  transformer (bert-base shaped) whose last hidden state feeds the BiLSTM
+  head. Runs fully offline with a corpus-trained WordPiece vocab and random
+  init, or with real ``bert-base-uncased`` weights when a local HF cache
+  exists (``from_huggingface``).
 
 The host/device split is explicit: ``encode_host`` turns strings into padded
-id/mask arrays (CPU, cheap), ``features`` is the jittable device map.
+id/mask arrays (CPU, cheap), ``features`` is the jittable device map, and
+``apply(params, ids, mask)`` is the pure form used inside larger jitted
+programs with params threaded as arguments (never closed over).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from ircl_tpu.corpus.tokenizer import default_tokenizer
 
 @dataclass(frozen=True)
 class FeaturizerConfig:
+    kind: str = "hash"  # hash | transformer | hf
     dim: int = 768
     max_len: int = 64
     vocab_buckets: int = 1 << 18
@@ -42,6 +48,14 @@ class FeaturizerConfig:
     # nearly the same mean-pooled vector (representation collapse).
     token_scale: float = 1.0
     pos_scale: float = 0.1
+    # transformer featurizer (reference: frozen bert-base-uncased,
+    # src/contrastor/contrastive_module.py:32-41); dim doubles as hidden size
+    tf_layers: int = 12
+    tf_heads: int = 12
+    tf_intermediate: int = 3072
+    wp_vocab: int = 8192  # corpus-trained WordPiece vocab size (offline)
+    vocab_file: str = ""  # optional cached vocab.txt
+    hf_name: str = "bert-base-uncased"  # kind="hf" checkpoint name
 
 
 class HashEmbedFeaturizer:
@@ -105,3 +119,178 @@ class HashEmbedFeaturizer:
 @jax.jit
 def hash_embed_apply(params, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return HashEmbedFeaturizer.apply(params, ids, mask)
+
+
+class _HFTokenizerAdapter:
+    """Presents a HuggingFace tokenizer through the WordPiece encode_batch
+    contract so TransformerFeaturizer is tokenizer-agnostic."""
+
+    def __init__(self, tok):
+        self.tok = tok
+        self.vocab_size = tok.vocab_size
+
+    def encode_batch(self, pairs, max_length: int = 128):
+        texts_a = [a for a, _ in pairs]
+        texts_b = [b for _, b in pairs]
+        kwargs = dict(
+            padding="max_length",
+            truncation=True,
+            max_length=max_length,
+            return_tensors="np",
+        )
+        if any(b is not None for b in texts_b):
+            enc = self.tok(texts_a, texts_b, **kwargs)
+        else:
+            enc = self.tok(texts_a, **kwargs)
+        ids = enc["input_ids"].astype(np.int32)
+        mask = enc["attention_mask"].astype(np.float32)
+        types = enc.get("token_type_ids")
+        types = (
+            types.astype(np.int32)
+            if types is not None
+            else np.zeros_like(ids)
+        )
+        return ids, mask, types
+
+
+class TransformerFeaturizer:
+    """Frozen transformer featurizer — the reference's central architecture.
+
+    The reference freezes a pretrained ``bert-base-uncased`` under
+    ``torch.no_grad`` and feeds its last hidden state to the BiLSTM head
+    (``src/contrastor/contrastive_module.py:32-41``). Here the transformer is
+    the functional JAX encoder (``models/transformer.py``), WordPiece runs on
+    the host, and the frozen forward sits inside the jitted train step under
+    ``stop_gradient`` with params threaded as arguments (closing over a
+    ~110M-param pytree would serialize it into every compile request).
+    """
+
+    def __init__(self, tokenizer, tcfg, params, config: FeaturizerConfig):
+        self.tokenizer = tokenizer
+        self.tcfg = tcfg
+        self._params = params
+        self.config = config
+        self._jit_features = None
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def random_init(
+        cls, tokenizer, config: FeaturizerConfig = FeaturizerConfig(kind="transformer")
+    ) -> "TransformerFeaturizer":
+        """Random-init transformer over a given (word-piece) tokenizer: the
+        zero-download path. Like the hash featurizer, a fixed text->R^{LxD}
+        map; unlike it, the real architecture the reference uses."""
+        from ircl_tpu.models.transformer import (
+            TransformerConfig,
+            init_transformer_params,
+        )
+
+        tcfg = TransformerConfig(
+            vocab_size=tokenizer.vocab_size,
+            hidden=config.dim,
+            layers=config.tf_layers,
+            heads=config.tf_heads,
+            intermediate=config.tf_intermediate,
+            max_positions=max(config.max_len, 512),
+        )
+        params = init_transformer_params(jax.random.PRNGKey(config.seed), tcfg)
+        return cls(tokenizer, tcfg, params, config)
+
+    @classmethod
+    def train_from_corpus(
+        cls,
+        texts,
+        config: FeaturizerConfig = FeaturizerConfig(kind="transformer"),
+    ) -> "TransformerFeaturizer":
+        """Offline default: train a WordPiece vocab from the corpus, then
+        random-init the transformer over it."""
+        from ircl_tpu.models.wordpiece import WordPieceTokenizer
+
+        if config.vocab_file:
+            tok = WordPieceTokenizer.from_vocab_file(config.vocab_file)
+        else:
+            tok = WordPieceTokenizer.train(texts, vocab_size=config.wp_vocab)
+        return cls.random_init(tok, config)
+
+    @classmethod
+    def from_huggingface(
+        cls,
+        name: str = "bert-base-uncased",
+        config: FeaturizerConfig = FeaturizerConfig(kind="hf"),
+    ) -> "TransformerFeaturizer":
+        """Real pretrained weights + tokenizer from a local HF cache (no
+        egress in this environment; raises when absent)."""
+        import os
+
+        from ircl_tpu.models.transformer import from_huggingface
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+        from transformers import AutoTokenizer
+
+        tcfg, params = from_huggingface(name)
+        tok = _HFTokenizerAdapter(AutoTokenizer.from_pretrained(name))
+        cfg = FeaturizerConfig(
+            kind="hf",
+            dim=tcfg.hidden,
+            max_len=config.max_len,
+            tf_layers=tcfg.layers,
+            tf_heads=tcfg.heads,
+            tf_intermediate=tcfg.intermediate,
+            hf_name=name,
+        )
+        return cls(tok, tcfg, params, cfg)
+
+    # -- featurizer protocol -------------------------------------------------
+
+    def encode_host(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Strings -> ([B, L] int32 ids, [B, L] f32 mask): [CLS] text [SEP]."""
+        ids, mask, _ = self.tokenizer.encode_batch(
+            [(t, None) for t in texts], max_length=self.config.max_len
+        )
+        return ids, mask
+
+    @property
+    def params(self):
+        """Frozen transformer pytree, passed as *arguments* into jitted
+        programs (never closed over — see class docstring)."""
+        return self._params
+
+    def apply(self, params, ids: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Pure frozen forward: last hidden state, padded positions zeroed.
+        Bound method — ``self.tcfg`` is static trace-time data; only params
+        and the batch are traced."""
+        from ircl_tpu.models.transformer import transformer_apply
+
+        h = transformer_apply(params, self.tcfg, ids, mask)
+        return h * mask[:, :, None].astype(h.dtype)
+
+    def features(self, ids, mask) -> jnp.ndarray:
+        if self._jit_features is None:
+            self._jit_features = jax.jit(self.apply)
+        return self._jit_features(
+            self._params,
+            jnp.asarray(ids, jnp.int32),
+            jnp.asarray(mask, jnp.float32),
+        )
+
+
+def make_featurizer(config: FeaturizerConfig, corpus_texts=None):
+    """Config-driven featurizer factory (CLI entry: ``cli.py::_featurizer``)."""
+    if config.kind == "hash":
+        return HashEmbedFeaturizer(config)
+    if config.kind == "transformer":
+        if config.vocab_file:
+            return TransformerFeaturizer.train_from_corpus([], config)
+        if corpus_texts is None:
+            raise ValueError(
+                "kind='transformer' needs corpus_texts to train a WordPiece "
+                "vocab (or set featurizer.vocab_file)"
+            )
+        return TransformerFeaturizer.train_from_corpus(corpus_texts, config)
+    if config.kind == "hf":
+        return TransformerFeaturizer.from_huggingface(config.hf_name, config)
+    raise ValueError(f"unknown featurizer kind: {config.kind!r}")
