@@ -280,38 +280,67 @@ class TfidfRanker:
         u_pad = self._union_slots(
             buckets, hw, floor=self.fixed_union_cap or 512
         )
+        # Per-query ascending term sort (pads trailing) lets the query slab
+        # use the value-range windowed kernel — same ~n_ut-fold compare cut
+        # the doc side gets. Term order within a query is irrelevant to the
+        # scores (the slab sums over terms).
+        key = np.where(hw != 0.0, buckets, np.int32(2**31 - 1))
+        order = np.argsort(key, axis=1, kind="stable")
+        sb = np.take_along_axis(buckets, order, axis=1).astype(np.int32)
+        sw = np.take_along_axis(hw, order, axis=1)
+        sb = np.where(sw != 0.0, sb, -1)
         qb_t, qw_t = pad_for_slab(
-            np.ascontiguousarray(buckets.T.astype(np.int32)),
-            np.ascontiguousarray(hw.T),
+            np.ascontiguousarray(sb.T),
+            np.ascontiguousarray(sw.T),
             d_tile=128,
-        )
-        light_docs, light_contribs, _ = gather_light_pools(
-            self._split, buckets, weights
         )
         interpret = jax.default_backend() == "cpu"
         if self._bucketed is not None:
-            ld = self._bucketed.old2pos[
-                np.minimum(light_docs, self._split.num_docs)
-            ]
+            # Pools remapped to the permuted doc space and doc-sorted in one
+            # C++ pass (cheaper than a device argsort; the fused kernel's
+            # window bounds need ascending pools anyway). Pads carry an
+            # out-of-range position, so no d-tile window ever touches them.
+            ld, lc, _ = gather_light_pools(
+                self._split,
+                buckets,
+                weights,
+                old2pos=self._bucketed.old2pos,
+                sort_pools=True,
+                pad_doc=len(self._bucketed.pos2old),
+            )
             # the fused light-add kernel re-streams pool blocks per doc-tile;
             # past ~200K docs that traffic outweighs the gather it replaces.
-            fn = (
-                hybrid_topk_bucketed_fused
-                if self.dev.num_docs <= 200_000
-                else hybrid_topk_bucketed
-            )
-            return fn(
+            if self.dev.num_docs <= 200_000:
+                return hybrid_topk_bucketed_fused(
+                    *self._heavy_a,
+                    *self._heavy_b,
+                    jnp.asarray(u_pad),
+                    jnp.asarray(qb_t),
+                    jnp.asarray(qw_t),
+                    jnp.asarray(ld),
+                    jnp.asarray(lc),
+                    k=k,
+                    interpret=interpret,
+                    precision=self.precision,
+                    queries_sorted=True,
+                    pools_sorted=True,
+                )
+            return hybrid_topk_bucketed(
                 *self._heavy_a,
                 *self._heavy_b,
                 jnp.asarray(u_pad),
                 jnp.asarray(qb_t),
                 jnp.asarray(qw_t),
                 jnp.asarray(ld),
-                jnp.asarray(light_contribs),
+                jnp.asarray(lc),
                 k=k,
                 interpret=interpret,
                 precision=self.precision,
+                queries_sorted=True,
             )
+        light_docs, light_contribs, _ = gather_light_pools(
+            self._split, buckets, weights
+        )
         return hybrid_topk(
             self._heavy_terms_t,
             self._heavy_vals_t,
@@ -324,6 +353,7 @@ class TfidfRanker:
             num_real_docs=self.dev.num_docs,
             interpret=interpret,
             precision=self.precision,
+            queries_sorted=True,
         )
 
     def _closest_hybrid(self, queries: Sequence[str], k: int):

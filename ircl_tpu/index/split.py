@@ -148,18 +148,107 @@ def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
     return BucketedHeavy(ell_a=ell_a, ell_b=ell_b, pos2old=pos2old, old2pos=old2pos)
 
 
+_GLP_CONFIGURED = False
+
+
+def _native_light_lib():
+    global _GLP_CONFIGURED
+    import ctypes
+
+    from ircl_tpu.corpus import hashing
+
+    lib = hashing._load_native()
+    if lib is None or not hasattr(lib, "ircl_gather_light_pools"):
+        return None
+    if not _GLP_CONFIGURED:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ircl_light_pool_max.argtypes = [
+            i32p, f32p, ctypes.c_int64, ctypes.c_int64, i64p
+        ]
+        lib.ircl_light_pool_max.restype = ctypes.c_int64
+        lib.ircl_gather_light_pools.argtypes = [
+            i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, f32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, i32p, f32p, ctypes.c_int64,
+        ]
+        lib.ircl_gather_light_pools.restype = ctypes.c_int64
+        _GLP_CONFIGURED = True
+    return lib
+
+
 def gather_light_pools(
     split: SplitIndex,
     buckets: np.ndarray,  # [B, T] int32 query buckets
     weights: np.ndarray,  # [B, T] f32 query weights
     pool_floor: int = 128,
+    old2pos: np.ndarray = None,  # optional doc-id remap (width-bucket perm)
+    sort_pools: bool = False,  # doc-sort each pool ascending (stable)
+    pad_doc: int = None,  # padding doc id (default: num_docs)
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Per-query light posting pools (docs [B, NNZ], w*val contribs [B, NNZ]).
 
-    Vectorized numpy ragged gather over contiguous CSR slices; NNZ is the
-    batch max rounded to a power of two (compile-shape bucketing). Padding
-    entries carry doc id = num_docs and contribution 0.
+    NNZ is the batch max rounded to a power of two (compile-shape bucketing).
+    Padding entries carry doc id = ``pad_doc`` and contribution 0. Fast path:
+    the C++ runtime (``native/src/ircl_native.cpp::ircl_gather_light_pools``)
+    fuses gather + remap + per-pool doc sort; the vectorized-numpy fallback
+    reproduces it exactly (contiguous CSR slices in (query, term) order,
+    stable sort).
     """
+    if pad_doc is None:
+        pad_doc = split.num_docs
+    B, T = buckets.shape
+    buckets32 = np.ascontiguousarray(buckets, dtype=np.int32)
+    weights32 = np.ascontiguousarray(weights, dtype=np.float32)
+
+    lib = _native_light_lib()
+    if lib is not None and B:
+        import ctypes
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        bp = buckets32.ctypes.data_as(i32p)
+        wp = weights32.ctypes.data_as(f32p)
+        ipp = split.light_indptr.ctypes.data_as(i64p)
+        max_fill = lib.ircl_light_pool_max(bp, wp, B, T, ipp)
+        nnz = pool_floor
+        while nnz < max_fill:
+            nnz *= 2
+        docs = np.empty((B, nnz), dtype=np.int32)
+        contribs = np.empty((B, nnz), dtype=np.float32)
+        o2p = (
+            np.ascontiguousarray(old2pos, dtype=np.int32)
+            if old2pos is not None
+            else None
+        )
+        rc = lib.ircl_gather_light_pools(
+            bp, wp, B, T, ipp,
+            split.light_docs.ctypes.data_as(i32p),
+            split.light_vals.ctypes.data_as(f32p),
+            o2p.ctypes.data_as(i32p) if o2p is not None else None,
+            np.int32(pad_doc), np.int32(1 if sort_pools else 0),
+            docs.ctypes.data_as(i32p),
+            contribs.ctypes.data_as(f32p),
+            nnz,
+        )
+        assert rc >= 0, "pool capacity underestimated"
+        return docs, contribs, nnz
+    return _gather_light_pools_np(
+        split, buckets32, weights32, pool_floor, old2pos, sort_pools, pad_doc
+    )
+
+
+def _gather_light_pools_np(
+    split: SplitIndex,
+    buckets: np.ndarray,
+    weights: np.ndarray,
+    pool_floor: int,
+    old2pos: np.ndarray,
+    sort_pools: bool,
+    pad_doc: int,
+) -> Tuple[np.ndarray, np.ndarray, int]:
     B, T = buckets.shape
     is_light = (weights != 0.0) & (
         split.doc_freqs[buckets] <= split.df_threshold
@@ -174,7 +263,7 @@ def gather_light_pools(
     while nnz < totals.max(initial=0):
         nnz *= 2
 
-    docs = np.full((B, nnz), split.num_docs, dtype=np.int32)
+    docs = np.full((B, nnz), pad_doc, dtype=np.int32)
     contribs = np.zeros((B, nnz), dtype=np.float32)
 
     # Flatten all (query, term) segments into one index expression.
@@ -193,8 +282,15 @@ def gather_light_pools(
         src = np.repeat(seg_starts, seg_lens) + within
         dst_col = np.repeat(seg_out0, seg_lens) + within
         dst_row = np.repeat(b_idx, seg_lens)
-        docs[dst_row, dst_col] = split.light_docs[src]
+        gathered = split.light_docs[src]
+        if old2pos is not None:
+            gathered = old2pos[gathered].astype(np.int32)
+        docs[dst_row, dst_col] = gathered
         contribs[dst_row, dst_col] = split.light_vals[src] * np.repeat(
             seg_w, seg_lens
         )
+    if sort_pools:
+        order = np.argsort(docs, axis=1, kind="stable")
+        docs = np.take_along_axis(docs, order, axis=1)
+        contribs = np.take_along_axis(contribs, order, axis=1)
     return docs, contribs, nnz

@@ -94,16 +94,49 @@ def _u_tile(u: int) -> int:
     return max(128, min(512, u // 4))
 
 
-def _heavy_scores(u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b):
+_PREC_TABLE = {
+    "highest": jax.lax.Precision.HIGHEST,  # f32 (6-pass) — bit-level parity
+    "high": jax.lax.Precision.HIGH,  # bf16_3x — ~1e-6 rel err, ~2x faster
+    "default": jax.lax.Precision.DEFAULT,  # bf16 — ~4e-3 rel err, fastest
+}
+
+
+class _PrecDict(dict):
+    def __missing__(self, key):
+        raise ValueError(
+            f"unknown precision {key!r}: expected one of {sorted(_PREC_TABLE)}"
+        )
+
+
+_PREC = _PrecDict(_PREC_TABLE)
+
+
+def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted):
+    """Query-side slab. When each query's terms are sorted ascending with
+    pads (-1) trailing (the ranker pre-sorts on host), the value-range
+    windowed kernel applies to queries too — same ~n_ut-fold compare cut as
+    the doc side."""
+    if queries_sorted:
+        return membership_slab_windowed(
+            u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128,
+            interpret=interpret,
+        )
+    return membership_slab(
+        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
+    )
+
+
+def _heavy_scores(
+    u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b,
+    queries_sorted=False,
+):
     u_tile = _u_tile(u_sorted.shape[0])
     # doc-side slab: value-range windowed (rows sorted ascending), exact
     m = membership_slab_windowed(
         u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=256,
         interpret=interpret,
     )  # [U_h, N_pad]
-    wt = membership_slab(
-        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
-    )  # [U_h, B_pad]
+    wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
     return jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -112,7 +145,10 @@ def _heavy_scores(u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_real_docs", "interpret", "precision")
+    jax.jit,
+    static_argnames=(
+        "k", "num_real_docs", "interpret", "precision", "queries_sorted"
+    ),
 )
 def hybrid_topk(
     heavy_terms_t: jnp.ndarray,  # [K_h, N_pad] int32 (pad -1)
@@ -125,22 +161,20 @@ def hybrid_topk(
     k: int,
     num_real_docs: int,
     interpret: bool = False,
-    precision: str = "highest",  # "highest" (score parity) | "default" (bf16)
+    precision: str = "highest",  # see _PREC
+    queries_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    prec = _PREC[precision]
     h = _heavy_scores(
         u_sorted, heavy_terms_t, heavy_vals_t, qb_t, qw_t, interpret, prec,
-        light_docs.shape[0],
+        light_docs.shape[0], queries_sorted,
     )
     return _merge_light(h, light_docs, light_contribs, k, num_real_docs)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "interpret", "precision")
+    jax.jit,
+    static_argnames=("k", "interpret", "precision", "queries_sorted", "pools_sorted"),
 )
 def hybrid_topk_bucketed_fused(
     terms_a: jnp.ndarray,
@@ -155,17 +189,17 @@ def hybrid_topk_bucketed_fused(
     k: int,
     interpret: bool = False,
     precision: str = "highest",
+    queries_sorted: bool = False,
+    pools_sorted: bool = False,  # light pools pre-sorted by doc on host
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fully fused variant: scores stay transposed ([N, B]) and the light
-    pools are added straight into them by the ``light_add_t`` Pallas kernel —
-    no gather, no candidate merge. Exact totals; one top-k."""
-    from ircl_tpu.ops.light_add_pallas import light_add_t
+    """Fully fused variant: scores stay transposed ([N, B]), the light pools
+    are added straight into them and per-tile top-k emitted by the
+    ``light_add_topk_t`` Pallas kernel — no gather, no candidate merge, and
+    the [N, B] score matrix never round-trips HBM for a global sort. Exact
+    totals; the final top-k runs over n_tiles * k per-tile winners."""
+    from ircl_tpu.ops.light_add_pallas import light_add_topk_t
 
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    prec = _PREC[precision]
     u_tile = _u_tile(u_sorted.shape[0])
     ma = membership_slab_windowed(
         u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
@@ -173,9 +207,7 @@ def hybrid_topk_bucketed_fused(
     mb = membership_slab_windowed(
         u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
     )
-    wt = membership_slab(
-        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
-    )
+    wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
     m = jnp.concatenate([ma, mb], axis=1)  # [U, N_pad]
     h_t = jax.lax.dot_general(
         m, wt, (((0,), (0,)), ((), ())),
@@ -185,20 +217,25 @@ def hybrid_topk_bucketed_fused(
 
     B = light_docs.shape[0]
     b_pad = -(-B // 128) * 128
-    order = jnp.argsort(light_docs, axis=1)
-    sd = jnp.take_along_axis(light_docs, order, axis=1)
-    sv = jnp.take_along_axis(light_contribs, order, axis=1)
+    if pools_sorted:
+        sd, sv = light_docs, light_contribs
+    else:
+        order = jnp.argsort(light_docs, axis=1)
+        sd = jnp.take_along_axis(light_docs, order, axis=1)
+        sv = jnp.take_along_axis(light_contribs, order, axis=1)
     if b_pad != B:
         sd = jnp.pad(sd, ((0, b_pad - B), (0, 0)))
         sv = jnp.pad(sv, ((0, b_pad - B), (0, 0)))
     h_t = h_t[:, :b_pad]
 
-    h2 = light_add_t(
-        h_t, sd.T, sv.T, b_tile=128, d_tile=256, interpret=interpret
-    )  # [N_pad, b_pad]
+    tile_s, tile_i = light_add_topk_t(
+        h_t, sd.T, sv.T, k=k, b_tile=128, d_tile=256, interpret=interpret
+    )  # [n_dt * k8, b_pad] scores / global doc positions
 
-    scores = h2.T[:B]  # [B, N_pad]
-    top_s, top_i = jax.lax.top_k(scores, min(k, scores.shape[1]))
+    top_s, top_pos = jax.lax.top_k(
+        tile_s.T[:B], min(k, tile_s.shape[0])
+    )  # [B, k]
+    top_i = jnp.take_along_axis(tile_i.T[:B], top_pos, axis=1)
     empty = top_s <= 0.0
     return (
         jnp.where(empty, 0.0, top_s),
@@ -207,7 +244,8 @@ def hybrid_topk_bucketed_fused(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "interpret", "precision")
+    jax.jit,
+    static_argnames=("k", "interpret", "precision", "queries_sorted"),
 )
 def hybrid_topk_bucketed(
     terms_a: jnp.ndarray,  # [K_a, Na_pad] narrow-doc bucket (k-major)
@@ -222,6 +260,7 @@ def hybrid_topk_bucketed(
     k: int,
     interpret: bool = False,
     precision: str = "highest",
+    queries_sorted: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Width-bucketed heavy slab: docs sorted by heavy width and split into a
     narrow bucket (small K_a — the bulk) and a wide bucket, eliminating most
@@ -229,11 +268,7 @@ def hybrid_topk_bucketed(
     into [bucket_a | bucket_b]); callers map back through the permutation.
     Padding positions score 0 and are filtered; real-doc masking is by score,
     not position."""
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.DEFAULT
-    )
+    prec = _PREC[precision]
     u_tile = _u_tile(u_sorted.shape[0])
     ma = membership_slab_windowed(
         u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
@@ -241,9 +276,7 @@ def hybrid_topk_bucketed(
     mb = membership_slab_windowed(
         u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
     )
-    wt = membership_slab(
-        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
-    )
+    wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
     m = jnp.concatenate([ma, mb], axis=1)  # [U, Na_pad + Nb_pad]
     h = jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),

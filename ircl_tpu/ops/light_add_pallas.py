@@ -98,3 +98,107 @@ def light_add_t(
         out_shape=jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
         interpret=interpret,
     )(lo, hi, docs_t, contribs_t, h_t)
+
+
+_NEG = -3.4e38  # plain float: a jnp scalar would be a captured const
+
+
+def _light_add_topk_kernel(
+    lo_ref, hi_ref, docs_ref, contribs_ref, h_ref, s_ref, i_ref, *, k: int
+):
+    """light_add + per-tile top-k epilogue: the [D, B_T] score tile never
+    leaves VMEM — only the k per-tile winners (score + global doc position)
+    are written. k rounds of (max over the sublane axis, argmax via iota,
+    mask) — pure VPU reductions."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    d_t = h_ref.shape[0]
+    b_t = h_ref.shape[1]
+    d0 = i * d_t
+    lo = lo_ref[i * pl.num_programs(1) + j]
+    hi = hi_ref[i * pl.num_programs(1) + j]
+
+    d_iota = d0 + jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
+
+    def body(p, acc):
+        docs = docs_ref[p, :]
+        vals = contribs_ref[p, :]
+        eq = (docs[None, :] == d_iota).astype(jnp.float32)
+        return acc + eq * vals[None, :]
+
+    acc = jax.lax.fori_loop(lo, hi, body, h_ref[:, :])
+
+    local_iota = jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
+    k8 = s_ref.shape[0]
+    for r in range(k8):
+        if r < k:
+            m = jnp.max(acc, axis=0)  # [b_t]
+            am = jnp.max(
+                jnp.where(acc == m[None, :], local_iota, -1), axis=0
+            )  # [b_t] local row of (a) winner; ties pick the largest row
+            s_ref[r, :] = m
+            i_ref[r, :] = d0 + am
+            acc = jnp.where(local_iota == am[None, :], _NEG, acc)
+        else:
+            s_ref[r, :] = jnp.full((b_t,), _NEG, jnp.float32)
+            i_ref[r, :] = jnp.full((b_t,), -1, jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "b_tile", "d_tile", "interpret")
+)
+def light_add_topk_t(
+    h_t: jnp.ndarray,  # [N_pad, B] f32 transposed heavy scores
+    docs_t: jnp.ndarray,  # [P, B] int32 pool docs, ascending along P
+    contribs_t: jnp.ndarray,  # [P, B] f32
+    k: int = 5,
+    b_tile: int = 128,
+    d_tile: int = 256,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused light-add + hierarchical top-k.
+
+    Returns (scores [n_dt * k8, B], doc positions [n_dt * k8, B]): the top-k
+    totals of every d-tile (k8 = k padded to the sublane multiple; padding
+    rows carry -3.4e38 / -1). A tiny final ``lax.top_k`` over n_dt * k8
+    candidates replaces the global [B, N] sort, and the dense score matrix
+    is never written back to HBM."""
+    n_pad, B = h_t.shape
+    P = docs_t.shape[0]
+    assert B % b_tile == 0 and n_pad % d_tile == 0, (B, n_pad, b_tile, d_tile)
+    assert k <= d_tile
+    n_dt = n_pad // d_tile
+    n_bt = B // b_tile
+    k8 = -(-k // 8) * 8
+
+    bounds = jnp.arange(0, n_pad + 1, d_tile, dtype=jnp.int32)
+    counts = jnp.sum(
+        docs_t[:, :, None] < bounds[None, None, :], axis=0, dtype=jnp.int32
+    )  # [B, n_dt + 1]
+    lo = counts[:, :-1].reshape(n_bt, b_tile, n_dt).min(axis=1)
+    hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(axis=1)
+    lo = lo.T.reshape(-1)
+    hi = hi.T.reshape(-1)
+
+    return pl.pallas_call(
+        functools.partial(_light_add_topk_kernel, k=k),
+        grid=(n_dt, n_bt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((k8, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k8, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_dt * k8, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_dt * k8, B), jnp.int32),
+        ),
+        interpret=interpret,
+    )(lo, hi, docs_t, contribs_t, h_t)

@@ -112,6 +112,75 @@ int64_t ircl_coo_dedup(const int64_t* rows, const int32_t* cols,
   return m;
 }
 
+// Max total light postings over any query in the batch (pool sizing pass;
+// one indptr lookup per (query, term)).
+int64_t ircl_light_pool_max(const int32_t* buckets, const float* weights,
+                            int64_t B, int64_t T, const int64_t* light_indptr) {
+  int64_t mx = 0;
+  for (int64_t b = 0; b < B; b++) {
+    int64_t tot = 0;
+    const int64_t base = b * T;
+    for (int64_t t = 0; t < T; t++) {
+      if (weights[base + t] == 0.0f) continue;
+      const int64_t h = buckets[base + t];
+      tot += light_indptr[h + 1] - light_indptr[h];
+    }
+    if (tot > mx) mx = tot;
+  }
+  return mx;
+}
+
+// Per-query light posting pools: contiguous CSR slices gathered, optionally
+// remapped through old2pos (the width-bucket permutation) and doc-sorted
+// ascending (stable), padded with (pad_doc, 0). The serving-path replacement
+// for the numpy gather in ircl_tpu/index/split.py::gather_light_pools.
+// Returns the max fill, or -1 if some query exceeds capacity P.
+int64_t ircl_gather_light_pools(
+    const int32_t* buckets, const float* weights, int64_t B, int64_t T,
+    const int64_t* light_indptr, const int32_t* light_docs,
+    const float* light_vals, const int32_t* old2pos /* nullable */,
+    int32_t pad_doc, int32_t sort_pools, int32_t* out_docs,
+    float* out_contribs, int64_t P) {
+  std::vector<std::pair<int32_t, float>> pool;
+  pool.reserve(static_cast<size_t>(P));
+  int64_t mx = 0;
+  for (int64_t b = 0; b < B; b++) {
+    pool.clear();
+    const int64_t base = b * T;
+    for (int64_t t = 0; t < T; t++) {
+      const float w = weights[base + t];
+      if (w == 0.0f) continue;
+      const int64_t h = buckets[base + t];
+      const int64_t lo = light_indptr[h], hi = light_indptr[h + 1];
+      if (static_cast<int64_t>(pool.size()) + (hi - lo) > P) return -1;
+      for (int64_t i = lo; i < hi; i++) {
+        int32_t d = light_docs[i];
+        if (old2pos) d = old2pos[d];
+        pool.emplace_back(d, light_vals[i] * w);
+      }
+    }
+    if (mx < static_cast<int64_t>(pool.size()))
+      mx = static_cast<int64_t>(pool.size());
+    if (sort_pools)
+      std::stable_sort(
+          pool.begin(), pool.end(),
+          [](const std::pair<int32_t, float>& a,
+             const std::pair<int32_t, float>& b) { return a.first < b.first; });
+    int32_t* od = out_docs + b * P;
+    float* oc = out_contribs + b * P;
+    int64_t i = 0;
+    for (; i < static_cast<int64_t>(pool.size()); i++) {
+      od[i] = pool[i].first;
+      oc[i] = pool[i].second;
+    }
+    for (; i < P; i++) {
+      od[i] = pad_doc;
+      oc[i] = 0.0f;
+    }
+  }
+  return mx;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -58,6 +58,43 @@ def test_light_pool_gather_matches_csr(setup):
         np.testing.assert_allclose(pool, dense, rtol=1e-5, atol=1e-6)
 
 
+def test_light_pool_native_matches_numpy(setup):
+    """C++ fused gather (remap + sort + pad) vs the numpy fallback, and both
+    option combinations produce identical pools."""
+    from ircl_tpu.index.split import (
+        _gather_light_pools_np,
+        _native_light_lib,
+        bucket_heavy,
+    )
+
+    if _native_light_lib() is None:
+        pytest.skip("native lib unavailable")
+    index, claims = setup
+    split = split_index(index, df_threshold=8)
+    bk = bucket_heavy(split.heavy)
+    ranker = TfidfRanker(index, mode="ragged")
+    buckets, weights = ranker._vectorize(claims)
+
+    for kwargs in (
+        {},
+        {"sort_pools": True},
+        {"old2pos": bk.old2pos, "sort_pools": True, "pad_doc": len(bk.pos2old)},
+    ):
+        d1, c1, n1 = gather_light_pools(split, buckets, weights, **kwargs)
+        d2, c2, n2 = _gather_light_pools_np(
+            split,
+            buckets.astype(np.int32),
+            weights.astype(np.float32),
+            128,
+            kwargs.get("old2pos"),
+            kwargs.get("sort_pools", False),
+            kwargs.get("pad_doc", split.num_docs),
+        )
+        assert n1 == n2
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(c1, c2, rtol=1e-6)
+
+
 @pytest.mark.parametrize("threshold", [2, 8, 32])
 def test_hybrid_topk_matches_ell(setup, threshold):
     index, claims = setup
