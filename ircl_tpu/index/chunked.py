@@ -1,0 +1,141 @@
+"""Chunked hybrid ranking: full-wiki scale (5.4M docs) on one chip.
+
+The staged hybrid engine's transient HBM footprint is the membership slab
+M [U, N] plus the score matrix H [B, N] — ~6GB at 1M docs and B=1024, which
+would be ~33GB at the reference's full FEVER wiki (5.4M docs,
+``preprocessing/drqa/build_tfidf.py:86-126``; measured OOM: 23GB at
+B=4096/1M). The chunked ranker slices the corpus into document-range chunks,
+scores each with the staged engine (temporaries live only for the active
+chunk; the resident cost is just the per-chunk ELL postings), and merges the
+per-chunk winners on the host. Exactness is preserved: query idf comes from
+the GLOBAL document frequencies (postings are globally tf-idf weighted before
+slicing), and each chunk's df-split is merely a routing choice.
+
+This is also the single-chip mirror of the pod-sharded ranker
+(``parallel/sharded_hybrid.py``): same doc-partitioned decomposition, with
+host merge standing in for the ICI all_gather.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ircl_tpu.index.build import CountIndex
+
+
+def slice_doc_range(index: CountIndex, lo: int, hi: int) -> CountIndex:
+    """Column (document-range) slice [lo, hi) of a term-major CSR index.
+    Doc ids are renumbered to the chunk-local range."""
+    mask = (index.post_docs >= lo) & (index.post_docs < hi)
+    term_of_posting = np.repeat(
+        np.arange(index.hash_size, dtype=np.int64), np.diff(index.indptr)
+    )
+    counts = np.bincount(
+        term_of_posting[mask], minlength=index.hash_size
+    ).astype(np.int64)
+    indptr = np.zeros(index.hash_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return CountIndex(
+        hash_size=index.hash_size,
+        ngram=index.ngram,
+        doc_ids=index.doc_ids[lo:hi],
+        indptr=indptr,
+        post_docs=(index.post_docs[mask] - lo).astype(np.int32),
+        post_vals=index.post_vals[mask],
+        doc_freqs=counts.astype(np.int32),
+        weighted=index.weighted,
+    )
+
+
+class ChunkedHybridRanker:
+    """Exact batched top-k over a corpus too large for one staged pass.
+
+    Same results contract as ``TfidfRanker`` (mode="hybrid"); ``chunk_docs``
+    bounds the per-chunk transient HBM (~6GB per 1M docs at B=1024).
+    """
+
+    def __init__(
+        self,
+        index: CountIndex,
+        chunk_docs: int = 1_000_000,
+        **ranker_kwargs,
+    ):
+        from ircl_tpu.index.ranker import TfidfRanker
+        from ircl_tpu.index.tfidf import idf_vector, tfidf_transform
+
+        if not index.weighted and not ranker_kwargs.get("binary_tf", False):
+            index = tfidf_transform(index)  # global idf BEFORE slicing
+        self.num_docs = index.num_docs
+        self.doc_ids = index.doc_ids
+        self.hash_size = index.hash_size
+        self.ngram = index.ngram
+        # query weights always use GLOBAL document frequencies
+        self._doc_freqs = index.doc_freqs.copy()
+        self._idfs = idf_vector(index.doc_freqs, index.num_docs)
+        self._binary_tf = ranker_kwargs.get("binary_tf", False)
+        self._max_terms = ranker_kwargs.pop("fixed_max_terms", None)
+
+        self.offsets: List[int] = []
+        self.chunks: List[TfidfRanker] = []
+        for lo in range(0, index.num_docs, chunk_docs):
+            hi = min(lo + chunk_docs, index.num_docs)
+            sub = slice_doc_range(index, lo, hi)
+            self.offsets.append(lo)
+            self.chunks.append(
+                TfidfRanker(
+                    sub, mode="hybrid", fixed_max_terms=self._max_terms,
+                    **ranker_kwargs,
+                )
+            )
+
+    def _vectorize(self, queries: Sequence[str]):
+        from ircl_tpu.index.ranker import vectorize_queries
+
+        return vectorize_queries(
+            queries,
+            self.hash_size,
+            self.ngram,
+            self._doc_freqs,
+            self.num_docs,
+            max_terms=self._max_terms,
+            binary_tf=self._binary_tf,
+            idfs=self._idfs,
+        )
+
+    def hybrid_from_vectors(
+        self, buckets: np.ndarray, weights: np.ndarray, k: int = 5
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores [B, k], global doc indices [B, k], -1 padded). Chunks are
+        dispatched asynchronously (the single device stream serializes their
+        temporaries) and merged on the host."""
+        pending = [
+            c.hybrid_from_vectors_async(buckets, weights, k)
+            for c in self.chunks
+        ]
+        B = len(buckets)
+        all_s, all_i = [], []
+        for chunk, off, p in zip(self.chunks, self.offsets, pending):
+            s, i = chunk._finish_hybrid(p, B)
+            all_s.append(s)
+            all_i.append(np.where(i >= 0, i + off, -1))
+        s = np.concatenate(all_s, axis=1)  # [B, C*k]
+        i = np.concatenate(all_i, axis=1)
+        order = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(s, order, axis=1), np.take_along_axis(
+            i, order, axis=1
+        )
+
+    def closest_docs_batch(
+        self, queries: Sequence[str], k: int = 5
+    ) -> List[Tuple[List[str], np.ndarray]]:
+        buckets, weights = self._vectorize(queries)
+        scores, doc_idx = self.hybrid_from_vectors(buckets, weights, k)
+        out = []
+        for b in range(len(queries)):
+            keep = doc_idx[b] >= 0
+            out.append(
+                ([self.doc_ids[i] for i in doc_idx[b][keep]], scores[b][keep])
+            )
+        return out

@@ -266,15 +266,20 @@ class TfidfRanker:
         return np.asarray(scores)[:b], np.asarray(doc_idx)[:b]
 
     def _closest_hybrid_async(self, queries: Sequence[str], k: int):
+        buckets, weights = self._vectorize(queries)
+        return self.hybrid_from_vectors_async(buckets, weights, k)
+
+    def hybrid_from_vectors_async(
+        self, buckets: np.ndarray, weights: np.ndarray, k: int
+    ):
+        """Hybrid scoring from prebuilt query vectors ([B, T] buckets +
+        weights); returns device arrays (no sync)."""
         from ircl_tpu.index.split import gather_light_pools
         from ircl_tpu.ops.hybrid import (
             hybrid_topk,
-            hybrid_topk_bucketed,
             hybrid_topk_bucketed_fused,
         )
         from ircl_tpu.ops.membership_pallas import pad_for_slab
-
-        buckets, weights = self._vectorize(queries)
         heavy_q = self._split.doc_freqs[buckets] > self._split.df_threshold
         hw = np.where(heavy_q, weights, 0.0).astype(np.float32)
         u_pad = self._union_slots(
@@ -325,6 +330,13 @@ class TfidfRanker:
                     queries_sorted=True,
                     pools_sorted=True,
                 )
+            # Past the fused-light gate the staged engine wins: Mosaic runs
+            # the (u_tile, d_tile)-gridded slab ~4x faster than a one-cell-
+            # does-everything fused kernel (see docs/DESIGN.md "one-pass
+            # kernel" negative result), and at these unions the HBM
+            # round-trips it saves are minor.
+            from ircl_tpu.ops.hybrid import hybrid_topk_bucketed
+
             return hybrid_topk_bucketed(
                 *self._heavy_a,
                 *self._heavy_b,
@@ -357,8 +369,21 @@ class TfidfRanker:
         )
 
     def _closest_hybrid(self, queries: Sequence[str], k: int):
-        scores, doc_idx = self._closest_hybrid_async(queries, k)
-        b = len(queries)
+        return self._finish_hybrid(
+            self._closest_hybrid_async(queries, k), len(queries)
+        )
+
+    def hybrid_from_vectors(
+        self, buckets: np.ndarray, weights: np.ndarray, k: int
+    ):
+        """Sync hybrid top-k from prebuilt query vectors: (scores [B, k],
+        doc indices [B, k], -1 padded)."""
+        return self._finish_hybrid(
+            self.hybrid_from_vectors_async(buckets, weights, k), len(buckets)
+        )
+
+    def _finish_hybrid(self, pending, b: int):
+        scores, doc_idx = pending
         scores = np.asarray(scores)[:b]
         doc_idx = np.asarray(doc_idx)[:b]
         if self._bucketed is not None:

@@ -1,0 +1,56 @@
+"""Chunked hybrid ranker: doc-range slicing + cross-chunk merge exactness."""
+
+import numpy as np
+import pytest
+
+from ircl_tpu.corpus.store import MemoryDocStore
+from ircl_tpu.corpus.synthetic import generate
+from ircl_tpu.index.build import build_count_index
+from ircl_tpu.index.chunked import ChunkedHybridRanker, slice_doc_range
+from ircl_tpu.index.ranker import TfidfRanker
+from ircl_tpu.index.tfidf import tfidf_transform
+
+
+@pytest.fixture(scope="module")
+def setup():
+    wiki = generate(num_docs=300, num_claims=60, seed=5)
+    store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
+    index = tfidf_transform(
+        build_count_index(store, ngram=2, hash_size=1 << 20)
+    )
+    return index, [c.claim for c in wiki.claims]
+
+
+def test_slice_doc_range_partitions(setup):
+    index, _ = setup
+    a = slice_doc_range(index, 0, 120)
+    b = slice_doc_range(index, 120, 300)
+    assert a.num_docs == 120 and b.num_docs == 180
+    assert a.nnz + b.nnz == index.nnz
+    np.testing.assert_array_equal(
+        a.doc_freqs + b.doc_freqs, index.doc_freqs
+    )
+    # per-chunk postings renumbered into the local range
+    assert a.post_docs.max(initial=0) < 120
+    assert b.post_docs.max(initial=0) < 180
+
+
+@pytest.mark.parametrize("chunk_docs", [97, 150])
+def test_chunked_matches_single_ranker(setup, chunk_docs):
+    index, claims = setup
+    ref = TfidfRanker(index, mode="ragged")
+    chunked = ChunkedHybridRanker(
+        index, chunk_docs=chunk_docs, df_threshold=8, width_buckets=2
+    )
+    got_r = ref.closest_docs_batch(claims, k=5)
+    got_c = chunked.closest_docs_batch(claims, k=5)
+    for (ids_r, sc_r), (ids_c, sc_c) in zip(got_r, got_c):
+        assert len(sc_c) == len(sc_r)
+        np.testing.assert_allclose(
+            np.sort(sc_c), np.sort(sc_r), rtol=1e-5, atol=1e-6
+        )
+        # ids agree above the k-th score (cut ties are engine-dependent)
+        cut = float(np.min(sc_r)) * (1 + 1e-4) + 1e-4 if len(sc_r) else 0.0
+        want = {d for d, s in zip(ids_r, sc_r) if s > cut}
+        got = {d for d, s in zip(ids_c, sc_c) if s > cut}
+        assert got == want

@@ -58,6 +58,65 @@ def test_light_pool_gather_matches_csr(setup):
         np.testing.assert_allclose(pool, dense, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("threshold", [4, 16])
+def test_onepass_matches_staged(setup, threshold):
+    """The one-pass fused kernel (no materialized slab/scores) returns the
+    same top-k as the staged bucketed engine and the ragged validator."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.index.split import gather_light_pools
+    from ircl_tpu.ops.fused_hybrid_pallas import hybrid_topk_onepass
+    from ircl_tpu.ops.membership_pallas import pad_for_slab
+
+    index, claims = setup
+    ref = TfidfRanker(index, mode="ragged")
+    hyb = TfidfRanker(
+        index, mode="hybrid", df_threshold=threshold, width_buckets=2
+    )
+    buckets, weights = hyb._vectorize(claims)
+    heavy_q = hyb._split.doc_freqs[buckets] > threshold
+    hw = np.where(heavy_q, weights, 0.0).astype(np.float32)
+    u_pad = hyb._union_slots(buckets, hw, floor=512)
+    key = np.where(hw != 0.0, buckets, np.int32(2**31 - 1))
+    order = np.argsort(key, axis=1, kind="stable")
+    sb = np.take_along_axis(buckets, order, axis=1).astype(np.int32)
+    sw = np.take_along_axis(hw, order, axis=1)
+    sb = np.where(sw != 0.0, sb, -1)
+    qb_t, qw_t = pad_for_slab(
+        np.ascontiguousarray(sb.T), np.ascontiguousarray(sw.T), d_tile=128
+    )
+    n_pad = len(hyb._bucketed.pos2old)
+    ld, lc, _ = gather_light_pools(
+        hyb._split, buckets, weights,
+        old2pos=hyb._bucketed.old2pos, sort_pools=True, pad_doc=n_pad,
+    )
+    s1, i1 = hybrid_topk_onepass(
+        *hyb._heavy_a, *hyb._heavy_b,
+        jnp.asarray(u_pad), jnp.asarray(qb_t), jnp.asarray(qw_t),
+        jnp.asarray(ld), jnp.asarray(lc),
+        k=5, d_tile=256, b_tile=128, interpret=True,
+    )
+    s1, i1 = np.asarray(s1), np.asarray(i1)
+    # map permuted positions back to doc ids
+    i1 = np.where(i1 >= 0, hyb._bucketed.pos2old[np.maximum(i1, 0)], -1)
+
+    got_ref = ref.closest_docs_batch(claims, k=5)
+    got_hyb = hyb.closest_docs_batch(claims, k=5)
+    doc2idx = {d: ix for ix, d in enumerate(index.doc_ids)}
+    for b, ((ids_r, sc_r), (ids_h, sc_h)) in enumerate(zip(got_ref, got_hyb)):
+        keep = i1[b] >= 0
+        np.testing.assert_allclose(
+            np.sort(s1[b][keep]), np.sort(sc_r), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(np.sort(sc_h), np.sort(sc_r), rtol=1e-5)
+        # ids match for every doc strictly above the k-th score (ties at the
+        # cut are legitimately engine-dependent)
+        cut = float(np.min(sc_r)) * (1 + 1e-4) + 1e-4
+        got = {int(d) for d, s in zip(i1[b][keep], s1[b][keep]) if s > cut}
+        want = {doc2idx[d] for d, s in zip(ids_r, sc_r) if s > cut}
+        assert got == want
+
+
 def test_light_pool_native_matches_numpy(setup):
     """C++ fused gather (remap + sort + pad) vs the numpy fallback, and both
     option combinations produce identical pools."""
