@@ -110,7 +110,13 @@ class TfidfRanker:
     - ``"auto"``: ell for small corpora, hybrid beyond.
     """
 
+    # Bench-derived engine-selection crossovers (docs/DESIGN.md): below
+    # ELL_MAX_DOCS the dense ELL slab wins; within FUSED_LIGHT_MAX_DOCS the
+    # fused light-add kernel beats the staged bucketed merge. Both paths are
+    # exact — parity at the boundaries is pinned by
+    # tests/test_hybrid.py::test_engine_gate_boundaries.
     ELL_MAX_DOCS = 20_000
+    FUSED_LIGHT_MAX_DOCS = 200_000
 
     def __init__(
         self,
@@ -315,7 +321,7 @@ class TfidfRanker:
             )
             # the fused light-add kernel re-streams pool blocks per doc-tile;
             # past ~200K docs that traffic outweighs the gather it replaces.
-            if self.dev.num_docs <= 200_000:
+            if self.dev.num_docs <= self.FUSED_LIGHT_MAX_DOCS:
                 return hybrid_topk_bucketed_fused(
                     *self._heavy_a,
                     *self._heavy_b,

@@ -1,15 +1,26 @@
 """End-to-end measured evaluation on TPU: the full two-stage pipeline.
 
 Builds a synthetic FEVER-like corpus, trains the contrastive encoder on it
-(uniform and augment sampling), and measures doc/sentence recall@5 for:
-sparse-only stage-2, untrained dense re-rank, and trained dense re-rank.
-Writes RESULTS.md. Run from the repo root: ``python scripts/eval_e2e.py``.
+(augment / uniform / tf_idf sampling), and measures doc and sentence
+recall@k over a k-sweep (the report's Fig. 2 analogue) for: sparse-only
+stage-2, untrained dense re-rank, and each trained dense re-rank. Also A/Bs
+the sentence-pair similarity feature space (hashed ngrams vs lemma-ish
+suffix-stripped — the framework's one documented deviation from the
+reference's NLTK-lemma tf-idf, ``preprocessing/
+build_docs_sentence_similarity.py:27-38``).
+
+Updates the section of RESULTS.md between the ``<!-- eval:begin/end -->``
+markers, preserving everything else. Run from the repo root:
+``python scripts/eval_e2e.py`` (options: ``--docs N --claims N --steps N
+--featurizer hash|transformer --skip-stem-ab``).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -18,114 +29,249 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+KS = (1, 5, 10, 20, 50, 100)
+MARK_BEGIN = "<!-- eval:begin -->"
+MARK_END = "<!-- eval:end -->"
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--claims", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--featurizer", choices=["hash", "transformer"], default="hash")
+    ap.add_argument("--skip-stem-ab", action="store_true")
+    ap.add_argument("--out", default="RESULTS.md")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
 
-    from ircl_tpu.contrastive.state import TrainConfig
+    from ircl_tpu.contrastive.state import TrainConfig, init_train_state
     from ircl_tpu.contrastive.trainer import ContrastiveTrainer
     from ircl_tpu.corpus.store import MemoryDocStore
     from ircl_tpu.corpus.synthetic import generate
     from ircl_tpu.data.pairs import DocPairSampler
+    from ircl_tpu.data.similarity import sentence_pair_similarity
     from ircl_tpu.index.build import build_count_index
     from ircl_tpu.index.ranker import TfidfRanker
     from ircl_tpu.index.tfidf import tfidf_transform
     from ircl_tpu.models.encoder import EncoderConfig
-    from ircl_tpu.models.featurizer import FeaturizerConfig, HashEmbedFeaturizer
+    from ircl_tpu.models.featurizer import FeaturizerConfig, make_featurizer
     from ircl_tpu.pipeline.dense_scorer import ContrastiveSentenceScorer
+    from ircl_tpu.pipeline.intrinsic import mean_claim_evidence_cosine
     from ircl_tpu.pipeline.recall import doc_recall_at_k, sentence_recall_at_k
-    from ircl_tpu.pipeline.retrieve import retrieve, sparse_sentence_scorer
-
-    NUM_DOCS, NUM_CLAIMS, STEPS = 5000, 500, 1500
+    from ircl_tpu.pipeline.retrieve import retrieve
 
     t0 = time.time()
-    wiki = generate(num_docs=NUM_DOCS, num_claims=NUM_CLAIMS, seed=42)
+    wiki = generate(num_docs=args.docs, num_claims=args.claims, seed=42)
     claims_text = [c.claim for c in wiki.claims]
     store = MemoryDocStore({d: r["text"] for d, r in wiki.docs.items()})
     index = tfidf_transform(build_count_index(store, ngram=2, hash_size=1 << 24))
     ranker = TfidfRanker(index)
     t_index = time.time() - t0
 
-    results = {"corpus_docs": NUM_DOCS, "claims": NUM_CLAIMS, "index_s": round(t_index, 1)}
+    results = {
+        "corpus_docs": args.docs,
+        "claims": args.claims,
+        "index_s": round(t_index, 1),
+    }
+    sweep = {}  # tag -> {k: recall}
 
-    # stage 1 only
+    # ---- stage 1: doc recall@k sweep from one deep batch -------------------
     t0 = time.time()
-    stage1 = ranker.closest_docs_batch(claims_text, k=5)
-    results["doc_recall@5"] = round(
-        doc_recall_at_k(wiki.claims, [ids for ids, _ in stage1], k=5), 4
-    )
+    deep = ranker.closest_docs_batch(claims_text, k=max(KS))
+    doc_lists = [ids for ids, _ in deep]
+    sweep["doc_tfidf"] = {
+        k: round(doc_recall_at_k(wiki.claims, doc_lists, k=k), 4) for k in KS
+    }
+    results["doc_recall@5"] = sweep["doc_tfidf"][5]
     results["stage1_s"] = round(time.time() - t0, 1)
 
-    feat = HashEmbedFeaturizer(FeaturizerConfig(dim=768, max_len=32))
+    # ---- featurizer + train config -----------------------------------------
+    if args.featurizer == "hash":
+        feat = make_featurizer(FeaturizerConfig(dim=768, max_len=32))
+        enc = EncoderConfig(masked_mean=True)
+    else:
+        # The reference's actual architecture: frozen transformer (bert-base
+        # shape) under the BiLSTM head — random-init offline, corpus WordPiece.
+        fcfg = FeaturizerConfig(
+            kind="transformer", dim=768, max_len=32, wp_vocab=8192
+        )
+        corpus_texts = [r["text"] for r in wiki.docs.values()]
+        t0 = time.time()
+        feat = make_featurizer(fcfg, corpus_texts)
+        results["wordpiece_train_s"] = round(time.time() - t0, 1)
+        enc = EncoderConfig(masked_mean=True)
     cfg = TrainConfig(
-        encoder=EncoderConfig(masked_mean=True),
+        encoder=enc,
         micro_batch=128,
         accum_steps=2,
         queue_start_steps=300,
         learning_rate=2.5e-4,
     )
 
-    from ircl_tpu.pipeline.intrinsic import mean_claim_evidence_cosine
-
     def run_stage2(scorer, tag):
         t0 = time.time()
         res = retrieve(
-            claims_text, ranker, wiki.sentences, scorer, k_docs=5, k_sents=5,
-            batch_size=256,
+            claims_text, ranker, wiki.sentences, scorer,
+            k_docs=20, k_sents=max(KS), batch_size=256,
         )
-        results[f"sentence_recall@5_{tag}"] = round(
-            sentence_recall_at_k(wiki.claims, res.sentences, k=5), 4
-        )
+        sweep[tag] = {
+            k: round(sentence_recall_at_k(wiki.claims, res.sentences, k=k), 4)
+            for k in KS
+        }
+        results[f"sentence_recall@5_{tag}"] = sweep[tag][5]
         results[f"stage2_{tag}_s"] = round(time.time() - t0, 1)
-        # intrinsic Table-1 analogue: mean cos(claim, gold evidence)
-        cos = mean_claim_evidence_cosine(scorer.embed, wiki.claims, wiki.sentences)
-        results[f"claim_evidence_cosine_{tag}"] = round(cos["mean_cosine"], 4)
-        results[f"shuffled_cosine_{tag}"] = round(cos["shuffled_cosine"], 4)
+        if hasattr(scorer, "embed"):
+            cos = mean_claim_evidence_cosine(
+                scorer.embed, wiki.claims, wiki.sentences
+            )
+            results[f"claim_evidence_cosine_{tag}"] = round(cos["mean_cosine"], 4)
+            results[f"shuffled_cosine_{tag}"] = round(cos["shuffled_cosine"], 4)
 
-    # untrained dense baseline
-    from ircl_tpu.contrastive.state import init_train_state
+    # ---- sparse-only stage 2 (the TF-IDF row of the Fig. 2 analogue) -------
+    # Host numpy scorer with the ranker's exact weighting (log1p(tf) * RSJ
+    # idf both sides, index/tfidf.py). A per-claim TfidfRanker would compile
+    # one TPU executable per candidate-set shape — hundreds of remote
+    # compiles for an eval that is a dot product over <=200 sentences.
+    from ircl_tpu.index.build import doc_to_hashed_counts
+    from ircl_tpu.index.tfidf import idf_vector
 
+    def sparse_host_scorer(claims, candidates):
+        H = 1 << 18
+        out = []
+        for claim, sents in zip(claims, candidates):
+            if not sents:
+                out.append(np.empty(0, dtype=np.float32))
+                continue
+            rows = [doc_to_hashed_counts(s, 2, H) for s in sents]
+            df = np.zeros(H, np.int32)
+            for b, _ in rows:
+                df[b] += 1
+            idf = idf_vector(df, len(sents))
+            qb, qc = doc_to_hashed_counts(claim, 2, H)
+            qw = np.log1p(qc.astype(np.float32)) * idf[qb]
+            lut = {int(b): float(w) for b, w in zip(qb, qw)}
+            scores = np.array(
+                [
+                    sum(
+                        lut.get(int(b), 0.0)
+                        * np.log1p(float(c))
+                        * idf[int(b)]
+                        for b, c in zip(bs, cs)
+                    )
+                    for bs, cs in rows
+                ],
+                dtype=np.float32,
+            )
+            out.append(scores)
+        return out
+
+    run_stage2(sparse_host_scorer, "sparse")
+
+    # ---- untrained dense baseline ------------------------------------------
     state0 = init_train_state(jax.random.PRNGKey(0), cfg)
     run_stage2(ContrastiveSentenceScorer(cfg, feat, state0), "dense_untrained")
 
-    # trained (augment + uniform + tf_idf = the reference's TFIDF-CL)
+    # ---- trained variants ----------------------------------------------------
     docs = list(wiki.sentences.values())
-    from ircl_tpu.data.similarity import sentence_pair_similarity
+    sims = {}
 
-    sim = None
-    for mode in ("augment", "uniform", "tf_idf"):
-        if mode == "tf_idf" and sim is None:
-            t0 = time.time()
-            sim = sentence_pair_similarity(docs)
-            results["similarity_prep_s"] = round(time.time() - t0, 1)
+    def train_variant(mode, tag, stem=False):
+        sim = None
+        if mode == "tf_idf":
+            if stem not in sims:
+                t0 = time.time()
+                sims[stem] = sentence_pair_similarity(docs, stem=stem)
+                results[f"similarity_prep{'_stem' if stem else ''}_s"] = round(
+                    time.time() - t0, 1
+                )
+            sim = sims[stem]
         sampler = DocPairSampler(docs, sample=mode, similarity=sim, seed=7)
         with tempfile.TemporaryDirectory() as td:
             tr = ContrastiveTrainer(
                 cfg, feat, sampler, ckptdir=td + "/c", logdir=td + "/l"
             )
             t0 = time.time()
-            state = tr.train(total_steps=STEPS, log_step=10**9)
-            results[f"train_{mode}_s"] = round(time.time() - t0, 1)
-        run_stage2(
-            ContrastiveSentenceScorer(cfg, feat, state), f"dense_{mode}"
-        )
+            state = tr.train(total_steps=args.steps, log_step=10**9)
+            results[f"train_{tag}_s"] = round(time.time() - t0, 1)
+        run_stage2(ContrastiveSentenceScorer(cfg, feat, state), f"dense_{tag}")
 
-    print(json.dumps(results))
-    with open("RESULTS.md", "w") as f:
-        f.write(
-            "# RESULTS — measured on one TPU v5e chip\n\n"
-            f"Synthetic FEVER-like corpus: {NUM_DOCS} docs, {NUM_CLAIMS} dev "
-            f"claims; hashed-bigram index 2^24 buckets; contrastive encoder = "
-            f"reference shapes (768 -> BiLSTM 3x256 bi -> 128, masked mean), "
-            f"{STEPS} steps @ effective batch 256.\n\n"
-            "| metric | value |\n|---|---|\n"
-            + "".join(f"| {k} | {v} |\n" for k, v in results.items())
-            + "\nStage-2 variants: `dense_untrained` = random-init encoder, "
-            "`dense_uniform` = reference-style doc-pair training, "
-            "`dense_augment` = query->sentence augmented pairs (ours).\n"
+    train_variant("augment", "augment")
+    train_variant("uniform", "uniform")
+    train_variant("tf_idf", "tf_idf")
+    if not args.skip_stem_ab:
+        # A/B: lemma-ish (suffix-stripped) similarity feature space vs hashed
+        train_variant("tf_idf", "tf_idf_stem", stem=True)
+
+    print(json.dumps({"results": results, "recall_sweep": sweep}))
+    write_results(args.out, args, results, sweep)
+
+
+def write_results(path, args, results, sweep):
+    body = [
+        MARK_BEGIN,
+        "",
+        f"Synthetic FEVER-like corpus: {args.docs} docs, {args.claims} dev "
+        f"claims; hashed-bigram index 2^24 buckets; featurizer = "
+        f"{args.featurizer}; contrastive encoder = reference shapes "
+        f"(768 -> BiLSTM 3x256 bi -> 128, masked mean), "
+        f"{args.steps} steps @ effective batch 256.",
+        "",
+        "| metric | value |",
+        "|---|---|",
+    ]
+    body += [f"| {k} | {v} |" for k, v in results.items()]
+    body += [
+        "",
+        "Stage-2 variants: `sparse` = per-claim tf-idf sentence scorer (no "
+        "dense model), `dense_untrained` = random-init encoder, "
+        "`dense_uniform` = reference-style doc-pair training, `dense_tf_idf` "
+        "= similarity-weighted pairs (the reference's TFIDF-CL), "
+        "`dense_tf_idf_stem` = same with suffix-stripped (lemma-ish) "
+        "similarity features, `dense_augment` = query->sentence augmented "
+        "pairs (ours).",
+        "",
+        "### Recall@k sweep (report Fig. 2 analogue)",
+        "",
+        "`doc_tfidf` = stage-1 document recall; other rows = two-stage "
+        "sentence recall with that stage-2 scorer.",
+        "",
+        "| variant | " + " | ".join(f"k={k}" for k in KS) + " |",
+        "|---|" + "---|" * len(KS),
+    ]
+    for tag, row in sweep.items():
+        body.append(
+            f"| {tag} | " + " | ".join(str(row[k]) for k in KS) + " |"
         )
+    body += ["", MARK_END]
+    section = "\n".join(body)
+
+    if os.path.exists(path):
+        text = open(path).read()
+    else:
+        text = ""
+    if MARK_BEGIN in text and MARK_END in text:
+        text = re.sub(
+            re.escape(MARK_BEGIN) + r".*?" + re.escape(MARK_END),
+            lambda _: section,
+            text,
+            flags=re.S,
+        )
+    else:
+        header = "# RESULTS — measured on one TPU v5e chip\n\n"
+        if text.startswith(header):
+            rest = text[len(header):]
+            # insert the marked section before any trailing sections
+            cut = rest.find("\n## ")
+            tail = rest[cut:] if cut >= 0 else ""
+            text = header + section + "\n" + tail
+        else:
+            text = header + section + "\n" + text
+    with open(path, "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

@@ -211,3 +211,72 @@ def test_bucket_heavy_partition(setup):
         assert bk.pos2old[bk.old2pos[o]] == o
     # narrow bucket width <= wide bucket width
     assert bk.ell_a.k_width <= max(bk.ell_b.k_width, bk.ell_a.k_width)
+
+
+def test_engine_gate_boundaries(setup):
+    """Parity holds on BOTH sides of each engine-selection constant.
+
+    The crossovers (ELL_MAX_DOCS, FUSED_LIGHT_MAX_DOCS) are bench-derived;
+    this pins that they are pure performance switches — scores and doc sets
+    are identical at num_docs == gate and num_docs == gate + 1, i.e. the
+    engine picked just below and just above every boundary agrees with a
+    scipy-checked baseline.
+    """
+    import scipy.sparse as sp
+
+    from ircl_tpu.index.build import to_scipy
+    from ircl_tpu.index.ranker import vectorize_queries
+
+    index, claims = setup
+    n = index.num_docs
+    claims = claims[:16]
+
+    # CPU reference scores for the claims (exact, full corpus)
+    mat = to_scipy(index)
+    buckets, weights = vectorize_queries(
+        claims, index.hash_size, index.ngram, index.doc_freqs, index.num_docs
+    )
+
+    def cpu_topk(b, k=5):
+        nz = weights[b] != 0
+        spvec = sp.csr_matrix(
+            (weights[b][nz], buckets[b][nz], [0, int(nz.sum())]),
+            shape=(1, index.hash_size),
+        )
+        res = spvec * mat
+        o = np.argsort(-res.data)[:k]
+        return set(res.indices[o]), np.sort(res.data[o])[::-1]
+
+    refs = [cpu_topk(b) for b in range(len(claims))]
+
+    def check(ranker):
+        doc2idx = {d: i for i, d in enumerate(index.doc_ids)}
+        for b, (ids, scores) in enumerate(
+            ranker.closest_docs_batch(claims, k=5)
+        ):
+            ref_ids, ref_scores = refs[b]
+            m = min(len(ref_scores), len(scores))
+            np.testing.assert_allclose(
+                scores[:m], ref_scores[:m], rtol=1e-4, atol=1e-6
+            )
+
+    saved = (TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS)
+    try:
+        # -- ELL_MAX_DOCS boundary: auto picks ell at n, hybrid at n - 1 ----
+        TfidfRanker.ELL_MAX_DOCS = n
+        r = TfidfRanker(index)
+        assert r.mode == "ell"
+        check(r)
+        TfidfRanker.ELL_MAX_DOCS = n - 1
+        r = TfidfRanker(index, df_threshold=8)
+        assert r.mode == "hybrid"
+        check(r)
+
+        # -- FUSED_LIGHT_MAX_DOCS boundary (bucketed hybrid light path) ----
+        TfidfRanker.ELL_MAX_DOCS = 1  # force hybrid via auto
+        TfidfRanker.FUSED_LIGHT_MAX_DOCS = n  # fused light-add engine
+        check(TfidfRanker(index, df_threshold=8, width_buckets=2))
+        TfidfRanker.FUSED_LIGHT_MAX_DOCS = n - 1  # staged bucketed engine
+        check(TfidfRanker(index, df_threshold=8, width_buckets=2))
+    finally:
+        TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
