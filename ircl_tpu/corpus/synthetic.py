@@ -48,6 +48,7 @@ def generate(
     num_claims: int = 100,
     claim_keep_prob: float = 0.6,
     refute_fraction: float = 0.0,
+    inflect_prob: float = 0.0,
     seed: int = 0,
 ) -> SyntheticWiki:
     """Build a synthetic wiki + claims with gold evidence.
@@ -55,6 +56,12 @@ def generate(
     Each doc gets 2 unique "entity" tokens woven through its sentences (the
     retrieval signal) over a Zipf-ish common vocabulary. Claims subsample a
     gold sentence's words (keeping entity tokens) and append noise words.
+
+    ``inflect_prob`` > 0 appends English-like inflection suffixes
+    (s/es/ed/ing) to common words with that probability — morphological
+    surface variation for experiments on lemma-vs-surface feature spaces
+    (``scripts/similarity_ab.py``). The default 0.0 leaves the token stream
+    (and ``corpus_digest``) bit-identical to prior rounds.
     """
     rng = np.random.default_rng(seed)
     common = [_word(rng, rng.integers(2, 4)) for _ in range(vocab_common)]
@@ -73,6 +80,14 @@ def generate(
         for s in range(n_sents):
             n_words = int(rng.integers(*words_per_sent))
             words = list(rng.choice(common, size=n_words, p=probs))
+            if inflect_prob > 0.0:
+                suffixes = ("s", "es", "ed", "ing")
+                words = [
+                    w + suffixes[int(rng.integers(4))]
+                    if rng.random() < inflect_prob
+                    else w
+                    for w in words
+                ]
             # weave entities into most sentences
             if rng.random() < 0.8:
                 pos = rng.integers(0, len(words) + 1)
