@@ -30,8 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 KS = (1, 5, 10, 20, 50, 100)
-MARK_BEGIN = "<!-- eval:begin -->"
-MARK_END = "<!-- eval:end -->"
+
+
+def marks(featurizer: str):
+    """Per-featurizer RESULTS.md section markers (hash keeps the legacy
+    unsuffixed pair so re-runs update in place)."""
+    tag = "eval" if featurizer == "hash" else f"eval-{featurizer}"
+    return f"<!-- {tag}:begin -->", f"<!-- {tag}:end -->"
 
 
 def main():
@@ -211,6 +216,7 @@ def main():
 
 
 def write_results(path, args, results, sweep):
+    MARK_BEGIN, MARK_END = marks(args.featurizer)
     body = [
         MARK_BEGIN,
         "",
