@@ -23,6 +23,40 @@ from ircl_tpu.index.tfidf import idf_vector
 from ircl_tpu.ops import ragged
 
 
+def candidate_docs(
+    index: CountIndex,
+    queries: Sequence[str],
+    bigram_only: bool = False,
+) -> List[List[str]]:
+    """Boolean candidate filtering: docs containing ANY query ngram.
+
+    The reference's ``documents_filtering`` (``src/evaluation.py:57-84``):
+    tokenize + hash the claim's 1..n-grams (optionally n>=2 only), take the
+    posting union over those buckets, and return the matching doc ids. A
+    recall-not-ranking primitive (its eval path sizes candidate sets before
+    dense scoring); host-side — the posting walk is memory-bound and tiny
+    next to device scoring.
+    """
+    from ircl_tpu.corpus.filters import filter_ngram, normalize
+    from ircl_tpu.corpus.hashing import hash_token
+    from ircl_tpu.corpus.tokenizer import default_tokenizer
+
+    out: List[List[str]] = []
+    tok = default_tokenizer()
+    for q in queries:
+        grams = tok.tokenize(normalize(q)).ngrams(
+            n=index.ngram, uncased=True, filter_fn=filter_ngram
+        )
+        if bigram_only:
+            grams = [g for g in grams if len(g.split()) > 1]
+        docs: set = set()
+        for w in {hash_token(g, index.hash_size) for g in grams}:
+            s, e = int(index.indptr[w]), int(index.indptr[w + 1])
+            docs.update(index.post_docs[s:e].tolist())
+        out.append([index.doc_ids[d] for d in sorted(docs)])
+    return out
+
+
 def vectorize_queries(
     queries: Sequence[str],
     hash_size: int,

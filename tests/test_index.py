@@ -201,3 +201,38 @@ def test_parity_with_reference_drqa_ranker(tfidf_index):
             np.testing.assert_allclose(ours, ref_scores, rtol=1e-5, atol=1e-6)
     finally:
         sys.path.remove("/root/reference/preprocessing")
+
+
+def test_candidate_docs_matches_scipy_boolean_filter():
+    """candidate_docs == the reference's documents_filtering semantics:
+    posting union over the query's hashed ngrams (src/evaluation.py:57-84),
+    cross-checked against a scipy boolean matvec."""
+    import scipy.sparse as sp
+
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.corpus.synthetic import generate
+    from ircl_tpu.index.build import build_count_index, to_scipy
+    from ircl_tpu.index.ranker import candidate_docs
+
+    wiki = generate(num_docs=80, num_claims=20, seed=21)
+    store = MemoryDocStore({d: r["text"] for d, r in wiki.docs.items()})
+    index = build_count_index(store, ngram=2, hash_size=1 << 18)
+    claims = [c.claim for c in wiki.claims]
+
+    got = candidate_docs(index, claims)
+    mat = to_scipy(index)  # [H, N]
+    from ircl_tpu.index.build import doc_to_hashed_counts
+
+    for b, claim in enumerate(claims):
+        # the reference filters on the COUNT matrix: every hashed ngram
+        # participates, including idf-0 (very common) terms
+        live, _ = doc_to_hashed_counts(claim, index.ngram, index.hash_size)
+        ref_idx = np.unique(mat[live].nonzero()[1])
+        assert got[b] == [index.doc_ids[i] for i in ref_idx], f"claim {b}"
+        assert len(got[b]) > 0
+
+    # bigram_only drops unigram-driven candidates
+    only_bi = candidate_docs(index, claims, bigram_only=True)
+    assert all(
+        set(bi) <= set(full) for bi, full in zip(only_bi, got)
+    )
