@@ -27,6 +27,35 @@ from ircl_tpu.ops.membership_pallas import (
 )
 
 
+_TOPK_BLK = 8192  # blocked top-k tile; tests shrink it to force the path
+
+
+def _topk_wide(h: jnp.ndarray, kk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over wide rows, blocked two-stage. MEASURED NEGATIVE
+    at 1M docs — kept as a reference implementation, not on the hot path.
+
+    Hypothesis was that XLA's flat TopK at ~1M-wide rows pays a sort-like
+    cost; measured the opposite: swapping this into ``_merge_light`` dropped
+    bench_scale 1M from 4-6K to 1.1K q/s (exact parity held) — XLA lowers
+    the 3-D per-block TopK far worse than the flat partial-sort, and the
+    -inf pad adds a full copy of ``h``. Exactness/tie-break semantics match
+    flat TopK (lowest index wins): block winners concatenate in block order,
+    so equal scores resolve to the earlier block, then the lower index.
+    """
+    B, n = h.shape
+    blk = _TOPK_BLK
+    if n <= 2 * blk:
+        return jax.lax.top_k(h, kk)
+    nb = -(-n // blk)
+    hp = jnp.pad(h, ((0, 0), (0, nb * blk - n)), constant_values=-jnp.inf)
+    s, i = jax.lax.top_k(hp.reshape(B, nb, blk), kk)  # [B, nb, kk]
+    base = (jnp.arange(nb, dtype=jnp.int32) * blk)[None, :, None]
+    s2 = s.reshape(B, nb * kk)
+    i2 = (i.astype(jnp.int32) + base).reshape(B, nb * kk)
+    ts, tp = jax.lax.top_k(s2, kk)
+    return ts, jnp.take_along_axis(i2, tp, axis=1)
+
+
 def _merge_light(
     h: jnp.ndarray,  # [B, N_pad] exact heavy scores
     light_docs: jnp.ndarray,  # [B, P] int32 (pads: any in-range id, contrib 0)

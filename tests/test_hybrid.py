@@ -280,3 +280,24 @@ def test_engine_gate_boundaries(setup):
         check(TfidfRanker(index, df_threshold=8, width_buckets=2))
     finally:
         TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
+
+
+def test_topk_wide_blocked_matches_flat():
+    """Blocked two-stage top-k == flat top-k, including index tie-breaks."""
+    import jax
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops import hybrid as hy
+
+    rng = np.random.default_rng(3)
+    # repeated values force tie-break coverage
+    h = rng.integers(0, 50, size=(7, 3000)).astype(np.float32)
+    ref_s, ref_i = jax.lax.top_k(jnp.asarray(h), 5)
+    saved = hy._TOPK_BLK
+    try:
+        hy._TOPK_BLK = 256  # force the blocked path at this width
+        got_s, got_i = hy._topk_wide(jnp.asarray(h), 5)
+    finally:
+        hy._TOPK_BLK = saved
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
