@@ -49,6 +49,7 @@ def generate(
     claim_keep_prob: float = 0.6,
     refute_fraction: float = 0.0,
     inflect_prob: float = 0.0,
+    refute_marker: bool = True,
     seed: int = 0,
 ) -> SyntheticWiki:
     """Build a synthetic wiki + claims with gold evidence.
@@ -121,7 +122,13 @@ def generate(
                 else str(rng.choice(common, p=probs))
                 for w in kept
             ]
-            kept.append("kontradikto")
+            # With the marker the label is claim-separable (easy smoke
+            # tests); without it (refute_marker=False) REFUTES is only
+            # detectable by comparing claim words against the evidence —
+            # the regime where evidence quality matters (Table 2 analogue,
+            # scripts/verdict_table2.py).
+            if refute_marker:
+                kept.append("kontradikto")
         claim_text = " ".join(kept + noise) + " ."
         claims.append(
             Claim(id=c, claim=claim_text, label=label, evidences={doc_id: [si]})

@@ -54,6 +54,48 @@ def sparse_sentence_scorer(ranker_factory: Callable[[Sequence[str]], "object"]):
     return score
 
 
+def host_sparse_scorer(hash_size: int = 1 << 18, ngram: int = 2):
+    """Host-numpy stage-2 sparse scorer with the ranker's exact weighting
+    (log1p(tf) * RSJ idf both sides, ``index/tfidf.py``), idf fitted per
+    candidate set. Device-free: a per-claim ``TfidfRanker`` would compile
+    one TPU executable per candidate-set shape — hundreds of remote
+    compiles for what is a dot product over <=200 sentences."""
+    from ircl_tpu.index.build import doc_to_hashed_counts
+    from ircl_tpu.index.tfidf import idf_vector
+
+    def score(claims, candidates):
+        out = []
+        for claim, sents in zip(claims, candidates):
+            if not sents:
+                out.append(np.empty(0, dtype=np.float32))
+                continue
+            rows = [doc_to_hashed_counts(s, ngram, hash_size) for s in sents]
+            df = np.zeros(hash_size, np.int32)
+            for b, _ in rows:
+                df[b] += 1
+            idf = idf_vector(df, len(sents))
+            qb, qc = doc_to_hashed_counts(claim, ngram, hash_size)
+            qw = np.log1p(qc.astype(np.float32)) * idf[qb]
+            lut = {int(b): float(w) for b, w in zip(qb, qw)}
+            out.append(
+                np.array(
+                    [
+                        sum(
+                            lut.get(int(b), 0.0)
+                            * np.log1p(float(c))
+                            * idf[int(b)]
+                            for b, c in zip(bs, cs)
+                        )
+                        for bs, cs in rows
+                    ],
+                    dtype=np.float32,
+                )
+            )
+        return out
+
+    return score
+
+
 def retrieve(
     claims: Sequence[str],
     doc_ranker: TfidfRanker,

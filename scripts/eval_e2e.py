@@ -137,44 +137,9 @@ def main():
             results[f"shuffled_cosine_{tag}"] = round(cos["shuffled_cosine"], 4)
 
     # ---- sparse-only stage 2 (the TF-IDF row of the Fig. 2 analogue) -------
-    # Host numpy scorer with the ranker's exact weighting (log1p(tf) * RSJ
-    # idf both sides, index/tfidf.py). A per-claim TfidfRanker would compile
-    # one TPU executable per candidate-set shape — hundreds of remote
-    # compiles for an eval that is a dot product over <=200 sentences.
-    from ircl_tpu.index.build import doc_to_hashed_counts
-    from ircl_tpu.index.tfidf import idf_vector
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
 
-    def sparse_host_scorer(claims, candidates):
-        H = 1 << 18
-        out = []
-        for claim, sents in zip(claims, candidates):
-            if not sents:
-                out.append(np.empty(0, dtype=np.float32))
-                continue
-            rows = [doc_to_hashed_counts(s, 2, H) for s in sents]
-            df = np.zeros(H, np.int32)
-            for b, _ in rows:
-                df[b] += 1
-            idf = idf_vector(df, len(sents))
-            qb, qc = doc_to_hashed_counts(claim, 2, H)
-            qw = np.log1p(qc.astype(np.float32)) * idf[qb]
-            lut = {int(b): float(w) for b, w in zip(qb, qw)}
-            scores = np.array(
-                [
-                    sum(
-                        lut.get(int(b), 0.0)
-                        * np.log1p(float(c))
-                        * idf[int(b)]
-                        for b, c in zip(bs, cs)
-                    )
-                    for bs, cs in rows
-                ],
-                dtype=np.float32,
-            )
-            out.append(scores)
-        return out
-
-    run_stage2(sparse_host_scorer, "sparse")
+    run_stage2(host_sparse_scorer(), "sparse")
 
     # ---- untrained dense baseline ------------------------------------------
     state0 = init_train_state(jax.random.PRNGKey(0), cfg)
