@@ -50,6 +50,8 @@ def generate(
     refute_fraction: float = 0.0,
     inflect_prob: float = 0.0,
     refute_marker: bool = True,
+    refute_corrupt: float = 0.5,
+    value_tokens: bool = False,
     seed: int = 0,
 ) -> SyntheticWiki:
     """Build a synthetic wiki + claims with gold evidence.
@@ -93,6 +95,13 @@ def generate(
             if rng.random() < 0.8:
                 pos = rng.integers(0, len(words) + 1)
                 words.insert(pos, entities[int(rng.integers(2))])
+            if value_tokens:
+                # One "fact slot" per sentence: a valNN token a claim either
+                # agrees with (SUPPORTS) or contradicts (REFUTES). Digit
+                # suffix => the claim-keep and refute-corrupt rules always
+                # preserve it, like entity tokens.
+                v = int(rng.integers(50))
+                words.insert(int(rng.integers(0, len(words) + 1)), f"val{v}")
             sents.append(" ".join(words) + " .")
         sentences[title] = sents
         lines = "\n".join(f"{i}\t{s}" for i, s in enumerate(sents))
@@ -118,7 +127,7 @@ def generate(
         if rng.random() < refute_fraction:
             label = "REFUTES"
             kept = [
-                w if w[-1].isdigit() or rng.random() < 0.5
+                w if w[-1].isdigit() or rng.random() >= refute_corrupt
                 else str(rng.choice(common, p=probs))
                 for w in kept
             ]
@@ -129,6 +138,19 @@ def generate(
             # scripts/verdict_table2.py).
             if refute_marker:
                 kept.append("kontradikto")
+            if value_tokens:
+                # contradict the evidence's fact slot: swap the claim's
+                # valNN for a different value
+                gold_v = next(
+                    (w for w in gold_words if w.startswith("val")
+                     and w[3:].isdigit()),
+                    None,
+                )
+                if gold_v is not None:
+                    w_new = f"val{int(rng.integers(50))}"
+                    while w_new == gold_v:
+                        w_new = f"val{int(rng.integers(50))}"
+                    kept = [w_new if w == gold_v else w for w in kept]
         claim_text = " ".join(kept + noise) + " ."
         claims.append(
             Claim(id=c, claim=claim_text, label=label, evidences={doc_id: [si]})

@@ -234,11 +234,8 @@ def write_results(path, args, results, sweep):
     else:
         header = "# RESULTS — measured on one TPU v5e chip\n\n"
         if text.startswith(header):
-            rest = text[len(header):]
-            # insert the marked section before any trailing sections
-            cut = rest.find("\n## ")
-            tail = rest[cut:] if cut >= 0 else ""
-            text = header + section + "\n" + tail
+            # prepend the new marked section, preserving everything else
+            text = header + section + "\n\n" + text[len(header):]
         else:
             text = header + section + "\n" + text
     with open(path, "w") as f:

@@ -31,9 +31,9 @@ MARK_END = "<!-- table2:end -->"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1200)
-    ap.add_argument("--train-claims", type=int, default=1000)
-    ap.add_argument("--dev-claims", type=int, default=400)
+    ap.add_argument("--docs", type=int, default=600)
+    ap.add_argument("--train-claims", type=int, default=3000)
+    ap.add_argument("--dev-claims", type=int, default=600)
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--layers", type=int, default=2)
@@ -60,14 +60,23 @@ def main():
     from ircl_tpu.verdict.train import predict_in_batches, train_verdict
 
     n_claims = args.train_claims + args.dev_claims
-    # refute_marker=False: REFUTES carries no lexical marker, so the label
-    # is only recoverable by comparing the claim against its evidence —
-    # evidence quality must matter, as in the reference's Table 2.
+    # value_tokens + refute_marker=False + refute_corrupt=0: every sentence
+    # carries one valNN "fact slot"; REFUTES claims differ from their gold
+    # evidence ONLY in that slot. The label is unrecoverable from the claim
+    # alone — the classifier must compare the claim's value against the
+    # evidence's, so evidence quality matters, as in the reference's
+    # Table 2. (Free-form token-overlap comparison was also tried: a
+    # random-init tiny transformer memorizes instead of comparing — see
+    # RESULTS notes; the reference's evidence-sensitivity rides on
+    # *pretrained* roberta.)
     wiki = generate(
         num_docs=args.docs,
         num_claims=n_claims,
+        claim_keep_prob=0.7,
         refute_fraction=0.4,
         refute_marker=False,
+        refute_corrupt=0.0,
+        value_tokens=True,
         seed=23,
     )
     train_claims = wiki.claims[: args.train_claims]
@@ -95,7 +104,7 @@ def main():
             intermediate=4 * args.hidden,
             max_positions=args.max_length,
         ),
-        learning_rate=5e-4,
+        learning_rate=3e-4,
         warmup_steps=args.warmup,
         freeze_body_until_warmup=True,
         max_length=args.max_length,
@@ -108,6 +117,11 @@ def main():
     )
     res["train_s"] = round(time.time() - t0, 1)
     res["final_val_macro_f1"] = history[-1]["val_macro_f1"]
+    log_hist = [
+        (h["epoch"], round(h["train_loss"], 4), round(h["val_macro_f1"] or 0, 3))
+        for h in history
+    ]
+    print("history (epoch, loss, val_f1):", log_hist, file=sys.stderr)
 
     # ---- evidence variants at eval time -------------------------------------
     rng = np.random.default_rng(5)
