@@ -134,6 +134,7 @@ def main(argv=None):
         ranker = ChunkedHybridRanker(
             index, chunk_docs=args.chunk_docs, df_threshold=256,
             width_buckets=2, precision="high", fixed_max_terms=24,
+            d_tile=512,
         )
         log(
             f"chunked device index built in {time.time()-t0:.0f}s "
@@ -142,7 +143,7 @@ def main(argv=None):
     else:
         ranker = TfidfRanker(
             index, mode="hybrid", df_threshold=256, width_buckets=2,
-            precision="high", fixed_max_terms=24,
+            precision="high", fixed_max_terms=24, d_tile=512,
         )
         log(f"device index built in {time.time()-t0:.0f}s (K_h={ranker._split.heavy.k_width})")
 

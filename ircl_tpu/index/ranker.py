@@ -164,8 +164,11 @@ class TfidfRanker:
         precision: str = "highest",  # "default": bf16 scores matmul (ranking
         #                               holds; scores drift ~0.2% rel)
         width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
+        d_tile: int = 256,  # doc-axis slab tile (staged hybrid path only);
+        #                      512 cuts slab time ~25% at 1M docs
     ):
         self.precision = precision
+        self.d_tile = d_tile
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
         # with more unique terms than fixed_max_terms are truncated; a batch
@@ -195,17 +198,23 @@ class TfidfRanker:
             self._split = split_index(index, df_threshold=df_threshold)
             put = lambda x: jax.device_put(x, device)
             if width_buckets == 2:
-                bk = bucket_heavy(self._split.heavy)
+                # lcm(d_tile, 256): the fused light path tiles at 256. The
+                # bucket cut MUST use the same tile as pad_for_slab below —
+                # old2pos encodes bucket_b's concat offset as na_pad, and a
+                # mismatched pad silently shifts every bucket_b doc id
+                # (caught as a 1/32 top-5 corruption at 1M, d_tile=512).
+                pad_tile = max(d_tile, 256)
+                bk = bucket_heavy(self._split.heavy, d_tile=pad_tile)
                 self._bucketed = bk
                 ta, va = pad_for_slab(
                     np.ascontiguousarray(bk.ell_a.terms.T),
                     np.ascontiguousarray(bk.ell_a.vals.T),
-                    d_tile=256,
+                    d_tile=pad_tile,
                 )
                 tb, vb = pad_for_slab(
                     np.ascontiguousarray(bk.ell_b.terms.T),
                     np.ascontiguousarray(bk.ell_b.vals.T),
-                    d_tile=256,
+                    d_tile=pad_tile,
                 )
                 self._heavy_a = (put(ta), put(va))
                 self._heavy_b = (put(tb), put(vb))
@@ -213,7 +222,7 @@ class TfidfRanker:
                 tt, vt = pad_for_slab(
                     np.ascontiguousarray(self._split.heavy.terms.T),
                     np.ascontiguousarray(self._split.heavy.vals.T),
-                    d_tile=256,
+                    d_tile=max(d_tile, 256),
                 )
                 self._heavy_terms_t = put(tt)
                 self._heavy_vals_t = put(vt)
@@ -389,6 +398,7 @@ class TfidfRanker:
                 interpret=interpret,
                 precision=self.precision,
                 queries_sorted=True,
+                d_tile=self.d_tile,
             )
         light_docs, light_contribs, _ = gather_light_pools(
             self._split, buckets, weights
@@ -403,6 +413,7 @@ class TfidfRanker:
             jnp.asarray(light_contribs),
             k=k,
             num_real_docs=self.dev.num_docs,
+            d_tile=self.d_tile,
             interpret=interpret,
             precision=self.precision,
             queries_sorted=True,

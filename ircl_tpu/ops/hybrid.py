@@ -157,12 +157,12 @@ def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted):
 
 def _heavy_scores(
     u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b,
-    queries_sorted=False,
+    queries_sorted=False, d_tile=256,
 ):
     u_tile = _u_tile(u_sorted.shape[0])
     # doc-side slab: value-range windowed (rows sorted ascending), exact
     m = membership_slab_windowed(
-        u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=256,
+        u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=d_tile,
         interpret=interpret,
     )  # [U_h, N_pad]
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
@@ -176,7 +176,8 @@ def _heavy_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "num_real_docs", "interpret", "precision", "queries_sorted"
+        "k", "num_real_docs", "interpret", "precision", "queries_sorted",
+        "d_tile",
     ),
 )
 def hybrid_topk(
@@ -192,11 +193,12 @@ def hybrid_topk(
     interpret: bool = False,
     precision: str = "highest",  # see _PREC
     queries_sorted: bool = False,
+    d_tile: int = 256,  # doc-axis slab tile; 512 wins past ~1M docs
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     prec = _PREC[precision]
     h = _heavy_scores(
         u_sorted, heavy_terms_t, heavy_vals_t, qb_t, qw_t, interpret, prec,
-        light_docs.shape[0], queries_sorted,
+        light_docs.shape[0], queries_sorted, d_tile,
     )
     return _merge_light(h, light_docs, light_contribs, k, num_real_docs)
 
@@ -274,7 +276,7 @@ def hybrid_topk_bucketed_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "interpret", "precision", "queries_sorted"),
+    static_argnames=("k", "interpret", "precision", "queries_sorted", "d_tile"),
 )
 def hybrid_topk_bucketed(
     terms_a: jnp.ndarray,  # [K_a, Na_pad] narrow-doc bucket (k-major)
@@ -290,6 +292,7 @@ def hybrid_topk_bucketed(
     interpret: bool = False,
     precision: str = "highest",
     queries_sorted: bool = False,
+    d_tile: int = 256,  # doc-axis slab tile; 512 cuts slab time ~25% at 1M
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Width-bucketed heavy slab: docs sorted by heavy width and split into a
     narrow bucket (small K_a — the bulk) and a wide bucket, eliminating most
@@ -300,10 +303,12 @@ def hybrid_topk_bucketed(
     prec = _PREC[precision]
     u_tile = _u_tile(u_sorted.shape[0])
     ma = membership_slab_windowed(
-        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
+        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
     )
     mb = membership_slab_windowed(
-        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
+        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
     )
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
     m = jnp.concatenate([ma, mb], axis=1)  # [U, Na_pad + Nb_pad]

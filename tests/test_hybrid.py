@@ -301,3 +301,73 @@ def test_topk_wide_blocked_matches_flat():
         hy._TOPK_BLK = saved
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_d_tile_512_matches_default():
+    """d_tile is a pure performance knob: staged hybrid results are identical
+    at d_tile=512 and 256, including when the width-bucket cut is live.
+
+    Guards the bucket_b concat-offset bug: old2pos encodes bucket_b's start
+    as na_pad, so the bucket cut and pad_for_slab MUST use the same tile —
+    a mismatch silently shifts every wide-bucket doc id (found as a 1/32
+    top-5 corruption at 1M docs when d_tile=512 was introduced).
+    """
+    import scipy.sparse as sp
+
+    from ircl_tpu.index.build import assemble_csr
+    from ircl_tpu.index.tfidf import idf_vector, tfidf_transform
+
+    rng = np.random.default_rng(2)
+    HASH = 1 << 16
+    vocab = rng.choice(HASH, size=2000, replace=False).astype(np.int64)
+    rows, cols, vals = [], [], []
+    NUM = 4096
+    for d in range(NUM):
+        w = 40 if d % 8 == 0 else 6  # width-skewed: forces a real bucket cut
+        terms = rng.choice(vocab, size=w, replace=False)
+        rows.extend(terms.tolist())
+        cols.extend([d] * w)
+        vals.extend([1] * w)
+    index = tfidf_transform(
+        assemble_csr(
+            np.asarray(rows), np.asarray(cols, np.int32),
+            np.asarray(vals, np.int32), HASH, 2,
+            [str(i) for i in range(NUM)],
+        )
+    )
+
+    B = 16
+    qb = vocab[rng.integers(0, len(vocab), size=(B, 12))].astype(np.int32)
+    idfs = idf_vector(index.doc_freqs, index.num_docs)
+    qw = (np.log1p(1.0) * idfs[qb]).astype(np.float32)
+
+    mat = to_scipy(index)
+    saved = (TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS)
+    try:
+        TfidfRanker.ELL_MAX_DOCS = 1
+        TfidfRanker.FUSED_LIGHT_MAX_DOCS = 1  # force the staged engine
+        outs = {}
+        for dt in (256, 512):
+            r = TfidfRanker(
+                index, df_threshold=4, width_buckets=2, d_tile=dt
+            )
+            assert r._bucketed.ell_b.terms.shape[0] > 0  # cut is live
+            assert len(r._bucketed.pos2old) % dt == 0
+            outs[dt] = r.hybrid_from_vectors(qb, qw, 5)
+    finally:
+        TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
+
+    for b in range(B):
+        nzq = qw[b] != 0
+        spvec = sp.csr_matrix(
+            (qw[b][nzq], qb[b][nzq], [0, int(nzq.sum())]), shape=(1, HASH)
+        )
+        ref = (spvec * mat).toarray().ravel()
+        expect = np.sort(ref)[::-1][:5]
+        for dt in (256, 512):
+            s, i = outs[dt]
+            n = int((i[b] >= 0).sum())
+            np.testing.assert_allclose(
+                np.sort(s[b][:n])[::-1], expect[:n], rtol=1e-4, atol=1e-6,
+                err_msg=f"query {b} d_tile={dt}",
+            )
