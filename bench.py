@@ -26,6 +26,12 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d-tile", type=int, default=256)
+    args = ap.parse_args()
+
     import jax
 
     # Persistent compilation cache: repeated bench runs skip XLA compiles.
@@ -93,6 +99,7 @@ def main():
         # bf16_3x matmul: ~1e-6 rel score error, well inside the 1e-4 parity
         # gate below; the f32(6-pass) "highest" tier costs 2x on the MXU.
         precision="high",
+        d_tile=args.d_tile,
     )
     # warmup / compile
     t0 = time.time()

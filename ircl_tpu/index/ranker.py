@@ -378,6 +378,7 @@ class TfidfRanker:
                     precision=self.precision,
                     queries_sorted=True,
                     pools_sorted=True,
+                    d_tile=self.d_tile,
                 )
             # Past the fused-light gate the staged engine wins: Mosaic runs
             # the (u_tile, d_tile)-gridded slab ~4x faster than a one-cell-

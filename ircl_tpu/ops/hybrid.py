@@ -205,7 +205,10 @@ def hybrid_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "interpret", "precision", "queries_sorted", "pools_sorted"),
+    static_argnames=(
+        "k", "interpret", "precision", "queries_sorted", "pools_sorted",
+        "d_tile",
+    ),
 )
 def hybrid_topk_bucketed_fused(
     terms_a: jnp.ndarray,
@@ -222,6 +225,7 @@ def hybrid_topk_bucketed_fused(
     precision: str = "highest",
     queries_sorted: bool = False,
     pools_sorted: bool = False,  # light pools pre-sorted by doc on host
+    d_tile: int = 256,  # slab tile only; the light-add kernel stays at 256
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully fused variant: scores stay transposed ([N, B]), the light pools
     are added straight into them and per-tile top-k emitted by the
@@ -233,10 +237,12 @@ def hybrid_topk_bucketed_fused(
     prec = _PREC[precision]
     u_tile = _u_tile(u_sorted.shape[0])
     ma = membership_slab_windowed(
-        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=256, interpret=interpret
+        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
     )
     mb = membership_slab_windowed(
-        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=256, interpret=interpret
+        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
     )
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
     m = jnp.concatenate([ma, mb], axis=1)  # [U, N_pad]
