@@ -164,11 +164,11 @@ class TfidfRanker:
         precision: str = "highest",  # "default": bf16 scores matmul (ranking
         #                               holds; scores drift ~0.2% rel)
         width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
-        d_tile: int = 256,  # doc-axis slab tile (staged hybrid path only);
-        #                      512 cuts slab time ~25% at 1M docs
+        d_tile: Optional[int] = None,  # doc-axis slab tile; None resolves to
+        #   512 past the fused gate (slab time -25% at 1M, measured) and 256
+        #   below it (best at the 50K fused config)
     ):
         self.precision = precision
-        self.d_tile = d_tile
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
         # with more unique terms than fixed_max_terms are truncated; a batch
@@ -187,6 +187,14 @@ class TfidfRanker:
         if mode == "auto":
             mode = "ell" if index.num_docs <= self.ELL_MAX_DOCS else "hybrid"
         self.mode = mode
+        if d_tile is None:
+            d_tile = (
+                512
+                if mode == "hybrid"
+                and index.num_docs > self.FUSED_LIGHT_MAX_DOCS
+                else 256
+            )
+        self.d_tile = d_tile
         self._ell_terms = self._ell_vals = None
         self._ell_terms_t = self._ell_vals_t = None
         self._split = None

@@ -371,3 +371,18 @@ def test_d_tile_512_matches_default():
                 np.sort(s[b][:n])[::-1], expect[:n], rtol=1e-4, atol=1e-6,
                 err_msg=f"query {b} d_tile={dt}",
             )
+
+
+def test_d_tile_default_resolution(setup):
+    """d_tile=None resolves to 512 past the fused gate, 256 below it."""
+    index, _ = setup
+    saved = (TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS)
+    try:
+        TfidfRanker.ELL_MAX_DOCS = 1
+        TfidfRanker.FUSED_LIGHT_MAX_DOCS = 10_000  # fixture is below
+        assert TfidfRanker(index, df_threshold=8).d_tile == 256
+        TfidfRanker.FUSED_LIGHT_MAX_DOCS = 10  # fixture is above
+        assert TfidfRanker(index, df_threshold=8).d_tile == 512
+        assert TfidfRanker(index, df_threshold=8, d_tile=256).d_tile == 256
+    finally:
+        TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
