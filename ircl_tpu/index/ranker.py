@@ -10,6 +10,7 @@ ragged gather -> sort -> segment-sum -> top-k pipeline on device
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -36,6 +37,11 @@ def candidate_docs(
     recall-not-ranking primitive (its eval path sizes candidate sets before
     dense scoring); host-side — the posting walk is memory-bound and tiny
     next to device scoring.
+
+    NOTE on the default: the reference *signature* defaults
+    ``bigram_only=True`` (``src/evaluation.py:57``) but its one exercised
+    call site passes ``False`` (``src/evaluation.py:101``); we default to
+    the exercised behavior. Deliberate flip — not a parity bug.
     """
     from ircl_tpu.corpus.filters import filter_ngram, normalize
     from ircl_tpu.corpus.hashing import hash_token
@@ -211,7 +217,7 @@ class TfidfRanker:
                 # old2pos encodes bucket_b's concat offset as na_pad, and a
                 # mismatched pad silently shifts every bucket_b doc id
                 # (caught as a 1/32 top-5 corruption at 1M, d_tile=512).
-                pad_tile = max(d_tile, 256)
+                pad_tile = math.lcm(d_tile, 256)
                 bk = bucket_heavy(self._split.heavy, d_tile=pad_tile)
                 self._bucketed = bk
                 ta, va = pad_for_slab(
@@ -230,7 +236,7 @@ class TfidfRanker:
                 tt, vt = pad_for_slab(
                     np.ascontiguousarray(self._split.heavy.terms.T),
                     np.ascontiguousarray(self._split.heavy.vals.T),
-                    d_tile=max(d_tile, 256),
+                    d_tile=math.lcm(d_tile, 256),
                 )
                 self._heavy_terms_t = put(tt)
                 self._heavy_vals_t = put(vt)

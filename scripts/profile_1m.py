@@ -45,6 +45,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--d-tile", type=int, default=None,
+                    help="doc-axis slab tile; default = the ranker's "
+                         "auto-resolved serving value")
     args = ap.parse_args()
 
     import jax
@@ -72,8 +75,10 @@ def main():
 
     ranker = TfidfRanker(
         index, mode="hybrid", df_threshold=256, width_buckets=2,
-        precision="high", fixed_max_terms=24,
+        precision="high", fixed_max_terms=24, d_tile=args.d_tile,
     )
+    d_tile = ranker.d_tile  # profile the ACTUAL serving tile, not a constant
+    log(f"d_tile={d_tile}")
     B = args.batch
     rng = np.random.default_rng(7)
     occupied = np.flatnonzero(index.doc_freqs)
@@ -118,14 +123,14 @@ def main():
     from ircl_tpu.ops.membership_pallas import membership_slab_windowed
 
     slab_a = jax.jit(lambda u, t, v: membership_slab_windowed(
-        u, t, v, u_tile=u_tile, d_tile=256))
+        u, t, v, u_tile=u_tile, d_tile=d_tile))
     slab_q = jax.jit(lambda u, t, v: membership_slab_windowed(
         u, t, v, u_tile=u_tile, d_tile=128))
 
     @jax.jit
     def scores_only(u, ta, va, tb, vb, qb_t, qw_t):
-        ma = membership_slab_windowed(u, ta, va, u_tile=u_tile, d_tile=256)
-        mb = membership_slab_windowed(u, tb, vb, u_tile=u_tile, d_tile=256)
+        ma = membership_slab_windowed(u, ta, va, u_tile=u_tile, d_tile=d_tile)
+        mb = membership_slab_windowed(u, tb, vb, u_tile=u_tile, d_tile=d_tile)
         wt = membership_slab_windowed(u, qb_t, qw_t, u_tile=u_tile, d_tile=128)
         m = jnp.concatenate([ma, mb], axis=1)
         return jax.lax.dot_general(
@@ -144,10 +149,11 @@ def main():
     full = jax.jit(lambda u, ta, va, tb, vb, q1, q2, ld, lc:
                    hy.hybrid_topk_bucketed(
                        ta, va, tb, vb, u, q1, q2, ld, lc, k=5,
-                       precision="high", queries_sorted=True))
+                       precision="high", queries_sorted=True,
+                       d_tile=d_tile))
 
     res = {"host_pool_gather_ms": round(host_gather_s * 1000, 1),
-           "U": int(U), "P": int(ld.shape[1])}
+           "U": int(U), "P": int(ld.shape[1]), "d_tile": int(d_tile)}
 
     t = timed(slab_a, u_sorted, ta, va)
     res["slab_narrow_ms"] = round(t * 1000, 1)

@@ -42,6 +42,16 @@ def main():
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--max-length", type=int, default=128)
     ap.add_argument("--warmup", type=int, default=50)
+    # Train-time format augmentation: gold evidence embedded among up to N
+    # sampled distractor sentences at a random position. Without it the
+    # classifier trains on "1 title + 1 sentence" (~43 tokens) but is
+    # evaluated on retrieval output "5 titles + 5 sentences" (~136 tokens)
+    # — a format shift a random-init tiny transformer cannot absorb
+    # (measured: tfidf F1 0.471 vs gold 0.897 with near-perfect retrieval,
+    # sentence recall@5 0.994). The reference survives the same shift via
+    # pretrained roberta (src/QA/model.py:13); this is the random-init
+    # analogue. Gold is always present, so training is still gold-evidence.
+    ap.add_argument("--train-distractors", type=int, default=4)
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
 
@@ -93,7 +103,28 @@ def main():
     }
 
     # ---- train on gold evidence (the reference trains on FEVER gold) -------
-    train_ex = build_examples(train_claims, doc_sents)
+    res["train_distractors"] = args.train_distractors
+    if args.train_distractors > 0:
+        rng_t = np.random.default_rng(11)
+        all_ids = list(doc_sents.keys())
+        override = []
+        for c in train_claims:
+            gold = [(d, s) for d, ss in c.evidences.items() for s in ss]
+            n_d = int(rng_t.integers(0, args.train_distractors + 1))
+            picks = [
+                (d, int(rng_t.integers(len(doc_sents[d]))))
+                for d in (
+                    all_ids[int(rng_t.integers(len(all_ids)))]
+                    for _ in range(n_d)
+                )
+            ]
+            pos = int(rng_t.integers(0, n_d + 1))
+            override.append(picks[:pos] + gold + picks[pos:])
+        train_ex = build_examples(
+            train_claims, doc_sents, evidence_override=override
+        )
+    else:
+        train_ex = build_examples(train_claims, doc_sents)
     tok = WordPieceTokenizer.train(
         [e.claim for e in train_ex] + [e.evidence_text for e in train_ex],
         vocab_size=4096,
@@ -142,6 +173,19 @@ def main():
             [c.claim for c in dev_claims], ranker, doc_sents,
             host_sparse_scorer(), k_docs=5, k_sents=5, batch_size=256,
         )
+        # Measure what this retrieval achieves ON THIS corpus, so the F1
+        # delta vs gold is attributable (retrieval miss vs classifier).
+        ranks = []
+        for c, sents in zip(dev_claims, r.sentences):
+            gold = {(d, s) for d, ss in c.evidences.items() for s in ss}
+            ranks.append(
+                next((i for i, p in enumerate(sents) if p in gold), -1)
+            )
+        ranks = np.asarray(ranks)
+        for k in (1, 5):
+            res[f"tfidf_sentence_recall@{k}"] = round(
+                float(np.mean((ranks >= 0) & (ranks < k))), 3
+            )
         return r.sentences
 
     def random_override():
@@ -186,8 +230,12 @@ def main():
         f"Synthetic 2-class corpus ({args.docs} docs, refute_fraction 0.4); "
         f"verdict transformer ({args.layers}L/{args.hidden}h, len "
         f"{args.max_length}) trained {args.epochs} epochs on gold evidence "
-        f"({res['train_s']}s), evaluated on {len(dev_claims)} dev claims "
-        "with the evidence input swapped:",
+        f"(+ up to {args.train_distractors} format distractors, "
+        f"{res['train_s']}s), evaluated on {len(dev_claims)} dev claims "
+        "with the evidence input swapped. The tfidf retrieval feeding the "
+        "tfidf_retrieval row achieves sentence recall@1 "
+        f"{res.get('tfidf_sentence_recall@1')} / recall@5 "
+        f"{res.get('tfidf_sentence_recall@5')} on these dev claims:",
         "",
         "| evidence source | macro-P | macro-R | macro-F1 | accuracy |",
         "|---|---|---|---|---|",

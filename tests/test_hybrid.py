@@ -245,7 +245,8 @@ def test_engine_gate_boundaries(setup):
         )
         res = spvec * mat
         o = np.argsort(-res.data)[:k]
-        return set(res.indices[o]), np.sort(res.data[o])[::-1]
+        dense = np.asarray(res.todense()).ravel()
+        return set(res.indices[o]), np.sort(res.data[o])[::-1], dense
 
     refs = [cpu_topk(b) for b in range(len(claims))]
 
@@ -254,11 +255,18 @@ def test_engine_gate_boundaries(setup):
         for b, (ids, scores) in enumerate(
             ranker.closest_docs_batch(claims, k=5)
         ):
-            ref_ids, ref_scores = refs[b]
+            ref_ids, ref_scores, ref_dense = refs[b]
             m = min(len(ref_scores), len(scores))
             np.testing.assert_allclose(
                 scores[:m], ref_scores[:m], rtol=1e-4, atol=1e-6
             )
+            # Each returned doc id must carry ITS OWN exact CPU score —
+            # catches doc-id permutation bugs (e.g. the bucket-offset one)
+            # even under tied scores, where set comparison would be lax.
+            for did, s in zip(ids, scores):
+                np.testing.assert_allclose(
+                    s, ref_dense[doc2idx[did]], rtol=1e-4, atol=1e-6
+                )
 
     saved = (TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS)
     try:
