@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ircl_tpu.ops.membership_pallas import (
     membership_slab,
     membership_slab_windowed,
+    slab_xla_reference,
 )
 
 
@@ -140,11 +141,14 @@ class _PrecDict(dict):
 _PREC = _PrecDict(_PREC_TABLE)
 
 
-def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted):
+def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted,
+                slab_impl="pallas"):
     """Query-side slab. When each query's terms are sorted ascending with
     pads (-1) trailing (the ranker pre-sorts on host), the value-range
     windowed kernel applies to queries too — same ~n_ut-fold compare cut as
     the doc side."""
+    if slab_impl == "xla":
+        return slab_xla_reference(u_sorted, qb_t, qw_t)
     if queries_sorted:
         return membership_slab_windowed(
             u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128,
@@ -157,15 +161,21 @@ def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted):
 
 def _heavy_scores(
     u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b,
-    queries_sorted=False, d_tile=256,
+    queries_sorted=False, d_tile=256, slab_impl="pallas",
 ):
     u_tile = _u_tile(u_sorted.shape[0])
-    # doc-side slab: value-range windowed (rows sorted ascending), exact
-    m = membership_slab_windowed(
-        u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=d_tile,
-        interpret=interpret,
-    )  # [U_h, N_pad]
-    wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
+    if slab_impl == "xla":
+        # CPU-mesh validation path at scale (see slab_xla_reference)
+        m = slab_xla_reference(u_sorted, terms_t, vals_t)
+    else:
+        # doc-side slab: value-range windowed (rows sorted ascending), exact
+        m = membership_slab_windowed(
+            u_sorted, terms_t, vals_t, u_tile=u_tile, d_tile=d_tile,
+            interpret=interpret,
+        )  # [U_h, N_pad]
+    wt = _query_slab(
+        u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted, slab_impl
+    )
     return jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -177,7 +187,7 @@ def _heavy_scores(
     jax.jit,
     static_argnames=(
         "k", "num_real_docs", "interpret", "precision", "queries_sorted",
-        "d_tile",
+        "d_tile", "slab_impl",
     ),
 )
 def hybrid_topk(
@@ -194,11 +204,12 @@ def hybrid_topk(
     precision: str = "highest",  # see _PREC
     queries_sorted: bool = False,
     d_tile: int = 256,  # doc-axis slab tile; 512 wins past ~1M docs
+    slab_impl: str = "pallas",  # "xla": non-Pallas slab (CPU-mesh scale)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     prec = _PREC[precision]
     h = _heavy_scores(
         u_sorted, heavy_terms_t, heavy_vals_t, qb_t, qw_t, interpret, prec,
-        light_docs.shape[0], queries_sorted, d_tile,
+        light_docs.shape[0], queries_sorted, d_tile, slab_impl,
     )
     return _merge_light(h, light_docs, light_contribs, k, num_real_docs)
 

@@ -27,19 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _light_add_kernel(lo_ref, hi_ref, docs_ref, contribs_ref, h_ref, out_ref):
-    """Grid (d_tiles, b_tiles).
+    """Grid (b_tiles, d_tiles) — batch OUTER, docs inner, so the pool block
+    (a function of the b-tile only) stays VMEM-resident across the whole
+    d sweep instead of being re-streamed n_dt times (the traffic that gated
+    the fused path to <=200K docs).
 
     lo_ref/hi_ref: flat [n_dt * n_bt] int32 window bounds (SMEM)
     docs_ref/contribs_ref: [P, B_T] pool slices (doc-sorted along P)
     h_ref/out_ref: [D, B_T] transposed score tiles
     """
-    i = pl.program_id(0)  # d tile
-    j = pl.program_id(1)  # b tile
+    j = pl.program_id(0)  # b tile (outer)
+    i = pl.program_id(1)  # d tile (inner)
     d_t = h_ref.shape[0]
     b_t = h_ref.shape[1]
     d0 = i * d_t
-    lo = lo_ref[i * pl.num_programs(1) + j]
-    hi = hi_ref[i * pl.num_programs(1) + j]
+    lo = lo_ref[i * pl.num_programs(0) + j]
+    hi = hi_ref[i * pl.num_programs(0) + j]
 
     d_iota = d0 + jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
 
@@ -82,18 +85,18 @@ def light_add_t(
 
     return pl.pallas_call(
         _light_add_kernel,
-        grid=(n_dt, n_bt),
+        grid=(n_bt, n_dt),  # batch outer: pool blocks resident over d sweep
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (d_tile, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            (d_tile, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
         interpret=interpret,
@@ -110,13 +113,13 @@ def _light_add_topk_kernel(
     leaves VMEM — only the k per-tile winners (score + global doc position)
     are written. k rounds of (max over the sublane axis, argmax via iota,
     mask) — pure VPU reductions."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    j = pl.program_id(0)  # b tile (outer; pool block resident — see above)
+    i = pl.program_id(1)  # d tile (inner)
     d_t = h_ref.shape[0]
     b_t = h_ref.shape[1]
     d0 = i * d_t
-    lo = lo_ref[i * pl.num_programs(1) + j]
-    hi = hi_ref[i * pl.num_programs(1) + j]
+    lo = lo_ref[i * pl.num_programs(0) + j]
+    hi = hi_ref[i * pl.num_programs(0) + j]
 
     d_iota = d0 + jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
 
@@ -182,19 +185,19 @@ def light_add_topk_t(
 
     return pl.pallas_call(
         functools.partial(_light_add_topk_kernel, k=k),
-        grid=(n_dt, n_bt),
+        grid=(n_bt, n_dt),  # batch outer: pool blocks resident over d sweep
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, b_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (d_tile, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (d_tile, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
-            pl.BlockSpec((k8, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k8, b_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k8, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k8, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_dt * k8, B), jnp.float32),

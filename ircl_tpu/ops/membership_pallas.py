@@ -234,3 +234,39 @@ def membership_topk_fused(
         jnp.where(empty, 0.0, top_s),
         jnp.where(empty, -1, top_i.astype(jnp.int32)),
     )
+
+
+@jax.jit
+def slab_xla_reference(
+    u_sorted: jnp.ndarray,  # [U] int32 sorted union ids (sentinel-padded)
+    terms_t: jnp.ndarray,  # [K, N] int32 raw term ids (pad -1)
+    contrib_t: jnp.ndarray,  # [K, N] f32
+) -> jnp.ndarray:
+    """XLA (non-Pallas) membership slab, exact same contract as
+    ``membership_slab(_windowed)``: M[u, n] = sum_k (terms[k,n] == u[u]) *
+    contrib[k,n]. A ``lax.scan`` over k keeps peak memory at one [U, N]
+    accumulator. Pads drop out: the union sentinel (hash_size) never matches
+    a stored term, and term pads (-1) never match a union slot.
+
+    Purpose: the virtual-CPU-mesh validation path at scale — interpret-mode
+    Pallas emulates per grid cell and bounds the practical corpus size to
+    ~40K docs, while XLA:CPU compiles this to vectorized native code
+    (500K+ docs in seconds per shard). Not used on TPU, where the windowed
+    Pallas kernel is strictly faster.
+    """
+
+    def body(acc, kv):
+        t, v = kv
+        return (
+            acc
+            + jnp.where(
+                u_sorted[:, None] == t[None, :], v[None, :], 0.0
+            ),
+            None,
+        )
+
+    acc0 = jnp.zeros(
+        (u_sorted.shape[0], terms_t.shape[1]), jnp.float32
+    )
+    m, _ = jax.lax.scan(body, acc0, (terms_t, contrib_t))
+    return m

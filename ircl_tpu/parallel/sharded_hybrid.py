@@ -30,10 +30,24 @@ from ircl_tpu.index.split import SplitIndex
 
 
 class ShardedHybridIndex:
-    def __init__(self, split: SplitIndex, mesh: Mesh, axis: str = "corpus", interpret=None):
+    def __init__(
+        self,
+        split: SplitIndex,
+        mesh: Mesh,
+        axis: str = "corpus",
+        interpret=None,
+        slab_impl: str = None,
+    ):
         self.split = split
         self.mesh = mesh
         self.axis = axis
+        # On the virtual CPU mesh default to the XLA slab: interpret-mode
+        # Pallas emulates per grid cell and caps the practical corpus at
+        # ~40K docs, while the XLA slab executes 500K+ (scripts/
+        # sharded_scale.py). On TPU the Pallas kernels stay the default.
+        if slab_impl is None:
+            slab_impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        self.slab_impl = slab_impl
         n_shards = mesh.shape[axis]
         self.n_shards = n_shards
         self.num_real_docs = split.num_docs
@@ -101,6 +115,7 @@ class ShardedHybridIndex:
         rows = self.rows_per_shard
         num_real = self.num_real_docs
         interpret = self.interpret
+        slab_impl = self.slab_impl
 
         def local_fn(terms_shard, vals_shard, u_sorted, qb_t, qw_t, ld, lc):
             my = jax.lax.axis_index(axis)
@@ -120,6 +135,7 @@ class ShardedHybridIndex:
                 k=k,
                 num_real_docs=rows,  # local range; global filter below
                 interpret=interpret,
+                slab_impl=slab_impl,
             )
             # mask docs past this shard's real range
             bad = (i < 0) | (i >= local_real)

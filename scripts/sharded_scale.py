@@ -3,10 +3,11 @@
 Two demonstrations for the FEVER full-wiki (5.4M doc) pod story
 (``parallel/sharded_hybrid.py``):
 
-1. execution: build a synthetic Zipf index (``--docs``, default 40K — CPU
-   interpret-mode Pallas bounds the practical size), shard the heavy ELL
+1. execution: build a synthetic Zipf index (``--docs``; the XLA slab
+   fallback makes 500K+ practical on the CPU mesh, ``--ref scipy``
+   checks parity against an exact host CSR matvec), shard the heavy ELL
    over an 8-device ``corpus`` mesh, route light pools, run the exact
-   sharded top-5 and check parity against the single-device hybrid ranker;
+   sharded top-5 and check per-returned-doc score parity;
 2. memory math: print the per-shard device budget (heavy slab bytes +
    transient scores) for this corpus and extrapolated to 5.4M docs on a
    v5e pod slice — the numbers that show one chip holds 1/8 of full wiki
@@ -64,6 +65,15 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--df-threshold", type=int, default=64)
     ap.add_argument("--stats-only", action="store_true")
+    ap.add_argument(
+        "--ref", choices=("scipy", "hybrid"), default="scipy",
+        help="parity reference: exact host CSR matvec (any scale) or the "
+             "single-device hybrid engine (interpret Pallas, <=40K docs)",
+    )
+    ap.add_argument(
+        "--slab-impl", choices=("xla", "pallas"), default=None,
+        help="sharded slab implementation (default: xla on cpu backend)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -115,11 +125,35 @@ def main():
     qw = (np.log1p(1.0) * idfs[qb]).astype(np.float32)
 
     t0 = time.time()
-    ref_s, ref_i = single.hybrid_from_vectors(qb, qw, K)
-    log(f"single-device hybrid done in {time.time()-t0:.0f}s")
+    if args.ref == "hybrid":
+        ref_s, ref_i = single.hybrid_from_vectors(qb, qw, K)
+        ref_dense = None
+        log(f"single-device hybrid done in {time.time()-t0:.0f}s")
+    else:
+        # Exact host reference: per-query sparse matvec over the full CSR.
+        # Fast at any corpus size and independent of every device engine.
+        import scipy.sparse as sp
+
+        from ircl_tpu.index.build import to_scipy
+
+        mat = to_scipy(index)
+        ref_rows = []
+        for b in range(B):
+            nz = qw[b] != 0
+            spvec = sp.csr_matrix(
+                (qw[b][nz], qb[b][nz], [0, int(nz.sum())]),
+                shape=(1, index.hash_size),
+            )
+            ref_rows.append(np.asarray((spvec @ mat).todense()).ravel())
+        ref_dense = np.stack(ref_rows)  # [B, N]
+        o = np.argsort(-ref_dense, axis=1, kind="stable")[:, :K]
+        ref_s = np.take_along_axis(ref_dense, o, axis=1)
+        ref_i = o
+        log(f"scipy reference done in {time.time()-t0:.0f}s")
 
     mesh = make_mesh(("corpus",))
-    sharded = ShardedHybridIndex(single._split, mesh)
+    sharded = ShardedHybridIndex(single._split, mesh, slab_impl=args.slab_impl)
+    log(f"sharded slab_impl={sharded.slab_impl}")
     heavy_q = single._split.doc_freqs[qb] > single._split.df_threshold
     hw = np.where(heavy_q, qw, 0.0).astype(np.float32)
     u_pad = single._union_slots(qb, hw, floor=512)
@@ -139,9 +173,18 @@ def main():
     bad = 0
     for b in range(B):
         n = int((ref_i[b] >= 0).sum())
-        if not np.allclose(
+        ok = np.allclose(
             np.sort(s[b][:n]), np.sort(ref_s[b][:n]), rtol=1e-4, atol=1e-6
-        ):
+        )
+        if ok and ref_dense is not None:
+            # each returned doc id must carry its own exact reference score
+            for j in range(n):
+                if i[b][j] >= 0 and not np.isclose(
+                    s[b][j], ref_dense[b][i[b][j]], rtol=1e-4, atol=1e-6
+                ):
+                    ok = False
+                    break
+        if not ok:
             bad += 1
     log(f"parity: {B - bad}/{B}")
     if bad:

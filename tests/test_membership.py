@@ -77,3 +77,53 @@ def test_ell_topk_matches_ragged_topk(setup):
 def test_auto_mode_selects_ell_for_small_corpus(setup):
     index, _ = setup
     assert TfidfRanker(index).mode == "ell"
+
+
+def test_slab_xla_reference_matches_pallas_interpret():
+    """The XLA fallback slab (CPU-mesh scale path) is bit-identical to the
+    Pallas kernels on the same inputs."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops.membership_pallas import (
+        membership_slab,
+        membership_slab_windowed,
+        pad_for_slab,
+        slab_xla_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    n, kw, hash_size = 640, 12, 1 << 16
+    terms = np.sort(
+        rng.choice(hash_size, size=(n, kw), replace=True), axis=1
+    ).astype(np.int32)
+    # trailing pads per doc
+    width = rng.integers(1, kw + 1, size=n)
+    mask = np.arange(kw)[None, :] < width[:, None]
+    terms = np.where(mask, terms, -1)
+    terms = np.sort(terms, axis=1)[:, ::-1]  # keep -1 trailing? re-sort asc
+    terms = np.where(terms >= 0, terms, np.iinfo(np.int32).max)
+    terms = np.sort(terms, axis=1)
+    terms = np.where(terms == np.iinfo(np.int32).max, -1, terms)
+    vals = np.where(terms >= 0, rng.random((n, kw)).astype(np.float32), 0.0)
+
+    u = np.unique(terms[terms >= 0])[::3]
+    u_cap = 512
+    u_pad = np.full(u_cap, hash_size, np.int32)
+    u_pad[: min(len(u), u_cap)] = u[:u_cap]
+
+    tt, vt = pad_for_slab(
+        np.ascontiguousarray(terms.T), np.ascontiguousarray(vals.T), d_tile=256
+    )
+    ref = np.asarray(slab_xla_reference(
+        jnp.asarray(u_pad), jnp.asarray(tt), jnp.asarray(vt)
+    ))
+    got_w = np.asarray(membership_slab_windowed(
+        jnp.asarray(u_pad), jnp.asarray(tt), jnp.asarray(vt),
+        u_tile=128, d_tile=256, interpret=True,
+    ))
+    got_p = np.asarray(membership_slab(
+        jnp.asarray(u_pad), jnp.asarray(tt), jnp.asarray(vt),
+        u_tile=128, d_tile=256, interpret=True,
+    ))
+    np.testing.assert_array_equal(ref, got_w)
+    np.testing.assert_array_equal(ref, got_p)

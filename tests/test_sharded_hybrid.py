@@ -1,6 +1,7 @@
 """Pod-sharded hybrid scoring equals the single-device hybrid ranker."""
 
 import numpy as np
+import pytest
 
 from ircl_tpu.corpus.store import MemoryDocStore
 from ircl_tpu.corpus.synthetic import generate
@@ -13,7 +14,8 @@ from ircl_tpu.parallel.mesh import make_mesh
 from ircl_tpu.parallel.sharded_hybrid import ShardedHybridIndex
 
 
-def test_sharded_hybrid_matches_single_device():
+@pytest.mark.parametrize("slab_impl", ["xla", "pallas"])
+def test_sharded_hybrid_matches_single_device(slab_impl):
     wiki = generate(num_docs=120, num_claims=32, seed=17)
     store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
     index = tfidf_transform(build_count_index(store, ngram=2, hash_size=1 << 20))
@@ -23,7 +25,7 @@ def test_sharded_hybrid_matches_single_device():
     ref = single.closest_docs_batch(claims, k=5)
 
     mesh = make_mesh(("corpus",))
-    sharded = ShardedHybridIndex(single._split, mesh)
+    sharded = ShardedHybridIndex(single._split, mesh, slab_impl=slab_impl)
 
     buckets, weights = single._vectorize(claims)
     heavy_q = single._split.doc_freqs[buckets] > single._split.df_threshold
