@@ -1,0 +1,157 @@
+"""Build-time autotuning of the hybrid ranker's df_threshold.
+
+The df split (``index/split.py``) trades heavy-slab work against light-pool
+work: raising the threshold shrinks the heavy union (fewer slab compares,
+smaller scores matmul) but grows each query's light posting pool. The knee
+depends on the df histogram AND the serving batch profile, which is why a
+single hand-tuned constant (32 at 50K docs, 256 at 1M in round 2) cannot
+transfer across corpora.
+
+Model, per batch of B queries (element-ops, measured-rate weighted):
+
+    cost(t) = slab_nk(t) * u_pad(t)                  # windowed slab compares
+            + C_MM    * u_pad(t) * n_pad * B         # scores matmul (MACs)
+            + C_LIGHT * B * p_pad(t)                 # light pool entries
+
+- ``slab_nk(t)``: sum over width buckets of N_pad * K_pad — the same padded
+  objective ``bucket_heavy`` minimizes, computed from the per-doc heavy
+  width histogram at threshold t.
+- ``u_pad(t)``: expected heavy union of the batch, from a real or synthetic
+  query sample, padded to the ranker's power-of-two bucketing.
+- ``p_pad(t)``: per-query light pool entries (sum of light-term dfs),
+  padded like ``gather_light_pools``.
+
+C_MM and C_LIGHT are rate ratios relative to one slab compare, calibrated
+from measured stage timings on the v5e (scripts/profile_1m.py +
+scripts/sweep_df.py): one MXU MAC at precision="high" costs ~1/30 of a
+windowed slab compare; one light pool entry through the staged merge
+(argsort + segment totals + candidate re-top-k) costs ~30 compares. The
+fused light-add path (pool-resident grid) touches each pool entry in VMEM
+compare-adds instead, ~C_LIGHT_FUSED per entry.
+
+The absolute scale is irrelevant — only argmin over t matters — so the
+model survives hardware noise as long as the *ratios* hold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+# Calibrated on TPU v5e (see module docstring); overridable per call.
+C_MM = 1.0 / 30.0
+C_LIGHT_STAGED = 30.0
+C_LIGHT_FUSED = 4.0
+
+DEFAULT_CANDIDATES = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _pow2(n: int, floor: int) -> int:
+    c = floor
+    while c < n:
+        c *= 2
+    return c
+
+
+def _padded(x: int, m: int = 256) -> int:
+    return -(-max(int(x), 1) // m) * m
+
+
+def _bucketed_slab_nk(widths_sorted: np.ndarray, pad_tile: int = 256) -> int:
+    """min over bucket cuts of Na_pad*Ka_pad + Nb_pad*Kb_pad — mirrors
+    ``bucket_heavy``'s objective (index/split.py)."""
+    n = len(widths_sorted)
+    best = None
+    for q in (0.5, 0.65, 0.8, 0.9, 0.95, 1.0):
+        cut = min(max(int(n * q), 1), n)
+        ka = int(widths_sorted[cut - 1])
+        kb = int(widths_sorted[-1]) if cut < n else 0
+        c = _padded(cut, pad_tile) * max(-(-max(ka, 1) // 8) * 8, 8)
+        if cut < n:
+            c += _padded(n - cut, pad_tile) * max(-(-kb // 8) * 8, 8)
+        if best is None or c < best:
+            best = c
+    return int(best)
+
+
+def synthesize_query_sample(
+    doc_freqs: np.ndarray,
+    batch: int = 1024,
+    max_terms: int = 24,
+    model: str = "occupied",
+    seed: int = 7,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """A [B, T] bucket sample standing in for serving queries when none are
+    available: ``occupied`` draws uniformly over live buckets (the synthetic
+    bench profile), ``mass`` draws proportionally to posting mass (Zipf text
+    profile — common words appear in queries as often as in docs)."""
+    rng = np.random.default_rng(seed)
+    occupied = np.flatnonzero(doc_freqs)
+    if model == "mass":
+        p = doc_freqs[occupied].astype(np.float64)
+        p /= p.sum()
+        qb = occupied[rng.choice(len(occupied), size=(batch, max_terms), p=p)]
+    else:
+        qb = occupied[rng.integers(0, len(occupied), size=(batch, max_terms))]
+    return qb.astype(np.int64), np.ones((batch, max_terms), np.float32)
+
+
+def auto_df_threshold(
+    index,
+    batch: int = 1024,
+    query_sample: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    candidates: Sequence[int] = DEFAULT_CANDIDATES,
+    engine: str = "fused",  # fused | staged light path
+    query_model: str = "occupied",
+    c_mm: float = C_MM,
+    c_light: Optional[float] = None,
+    return_costs: bool = False,
+):
+    """Pick the df threshold minimizing the modeled batch cost.
+
+    ``index``: a CountIndex (weighted or not). ``query_sample``: optional
+    ([B, T] buckets, [B, T] weights) from real traffic; synthesized from the
+    df histogram otherwise. One pass over the postings per candidate
+    (~nnz * len(candidates) ops — seconds even at 5.4M docs).
+    """
+    if c_light is None:
+        c_light = C_LIGHT_FUSED if engine == "fused" else C_LIGHT_STAGED
+    df = index.doc_freqs
+    n = index.num_docs
+    n_pad = _padded(n)
+    df_post = df[
+        np.repeat(
+            np.arange(index.hash_size, dtype=np.int64), np.diff(index.indptr)
+        )
+    ]
+    if query_sample is None:
+        qb, qw = synthesize_query_sample(df, batch, model=query_model)
+    else:
+        qb, qw = query_sample
+        qb = qb.astype(np.int64)
+    live = qw != 0.0
+
+    costs = {}
+    for t in candidates:
+        widths = np.bincount(
+            index.post_docs, weights=(df_post > t), minlength=n
+        ).astype(np.int64)
+        slab_nk = _bucketed_slab_nk(np.sort(widths))
+
+        heavy_q = (df[qb] > t) & live
+        u = len(np.unique(qb[heavy_q])) if heavy_q.any() else 0
+        u_pad = _pow2(max(u, 1), 512)
+
+        pool = np.where(live & ~(df[qb] > t), df[qb], 0).sum(axis=1)
+        p_pad = _pow2(max(int(pool.max(initial=0)), 1), 64)
+
+        costs[t] = (
+            float(slab_nk) * u_pad
+            + c_mm * u_pad * n_pad * len(qb)
+            + c_light * len(qb) * p_pad
+        )
+    best = min(costs, key=costs.get)
+    if return_costs:
+        return best, costs
+    return best
