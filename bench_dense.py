@@ -24,7 +24,8 @@ def main():
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
-    from ircl_tpu.dense.scorer import cosine_topk
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ircl_tpu.dense.scorer import cosine_topk, cosine_topk_twophase
 
     M, D, B, K = 1_000_000, 128, 1024, 5
     rng = np.random.default_rng(0)
@@ -50,13 +51,34 @@ def main():
         )
     log("parity ok")
 
-    reps = 20
-    t0 = time.time()
-    outs = [cosine_topk(q_d, corpus_d, k=K) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
-    qps = reps * B / dt
-    log(f"steady {qps:.0f} q/s over {M} docs")
+    def steady(fn, label, reps=20):
+        t0 = time.time()
+        outs = [fn() for _ in range(reps)]
+        jax.block_until_ready(outs)
+        _ = np.asarray(outs[-1][0][:1])  # real transfer (axon timing rule)
+        dt = time.time() - t0
+        qps = reps * B / dt
+        log(f"{label}: {qps:.0f} q/s over {M} docs ({dt/reps*1000:.1f} ms/batch)")
+        return qps
+
+    qps_flat = steady(lambda: cosine_topk(q_d, corpus_d, k=K), "flat topk")
+
+    # two-phase chunked top-k (exact; see dense/scorer.py): compile + full
+    # parity vs the flat path, then steady-state
+    s2, i2 = cosine_topk_twophase(q_d, corpus_d, k=K, chunk=128)
+    s2, i2 = np.asarray(s2), np.asarray(i2)
+    sf, if_ = cosine_topk(q_d, corpus_d, k=K)
+    sf, if_ = np.asarray(sf), np.asarray(if_)
+    np.testing.assert_allclose(s2, sf, rtol=1e-6)
+    agree = all(set(i2[b]) == set(if_[b]) for b in range(B))
+    log(f"two-phase parity vs flat: scores exact, index sets agree={agree}")
+    assert agree
+    qps_two = steady(
+        lambda: cosine_topk_twophase(q_d, corpus_d, k=K, chunk=128),
+        "two-phase",
+    )
+
+    qps = max(qps_flat, qps_two)
     print(
         json.dumps(
             {

