@@ -7,11 +7,11 @@ depends on the df histogram AND the serving batch profile, which is why a
 single hand-tuned constant (32 at 50K docs, 256 at 1M in round 2) cannot
 transfer across corpora.
 
-Model, per batch of B queries (element-ops, measured-rate weighted):
+Model, per batch of B queries:
 
-    cost(t) = slab_nk(t) * u_pad(t)                  # windowed slab compares
-            + C_MM    * u_pad(t) * n_pad * B         # scores matmul (MACs)
-            + C_LIGHT * B * p_pad(t)                 # light pool entries
+    cost(t) = slab_nk(t) * u_pad(t) / R_SLAB         # windowed slab compares
+            + u_pad(t) * n_pad * B  / R_MM           # scores matmul (MACs)
+            + B * p_pad(t) * NS_LIGHT                # light pool entries
 
 - ``slab_nk(t)``: sum over width buckets of N_pad * K_pad — the same padded
   objective ``bucket_heavy`` minimizes, computed from the per-doc heavy
@@ -21,13 +21,14 @@ Model, per batch of B queries (element-ops, measured-rate weighted):
 - ``p_pad(t)``: per-query light pool entries (sum of light-term dfs),
   padded like ``gather_light_pools``.
 
-C_MM and C_LIGHT are rate ratios relative to one slab compare, calibrated
-from measured stage timings on the v5e (scripts/profile_1m.py +
-scripts/sweep_df.py): one MXU MAC at precision="high" costs ~1/30 of a
-windowed slab compare; one light pool entry through the staged merge
-(argsort + segment totals + candidate re-top-k) costs ~30 compares. The
-fused light-add path (pool-resident grid) touches each pool entry in VMEM
-compare-adds instead, ~C_LIGHT_FUSED per entry.
+Terms are estimated in milliseconds with three measured rates (defaults
+calibrated on the v5e via scripts/profile_1m.py + scripts/sweep_df.py):
+
+- R_SLAB: nominal windowed-slab compares/s (the window skip factor is
+  folded in; ~242G/s at the 1M profile point),
+- R_MM: MXU MACs/s at precision="high" (bf16_3x, ~60T/s),
+- NS_LIGHT: ns per padded light pool entry end-to-end (host C++ gather +
+  tunnel transfer + device merge; ~65ns at the 1M profile point).
 
 The absolute scale is irrelevant — only argmin over t matters — so the
 model survives hardware noise as long as the *ratios* hold.
@@ -40,9 +41,9 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 # Calibrated on TPU v5e (see module docstring); overridable per call.
-C_MM = 1.0 / 30.0
-C_LIGHT_STAGED = 30.0
-C_LIGHT_FUSED = 4.0
+R_SLAB = 242e9  # nominal slab compares/s (window skip folded in)
+R_MM = 60e12  # MXU MACs/s at precision="high"
+NS_LIGHT = 65.0  # ns per padded light pool entry (gather+transfer+merge)
 
 DEFAULT_CANDIDATES = (16, 32, 64, 128, 256, 512, 1024)
 
@@ -102,10 +103,10 @@ def auto_df_threshold(
     batch: int = 1024,
     query_sample: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     candidates: Sequence[int] = DEFAULT_CANDIDATES,
-    engine: str = "fused",  # fused | staged light path
     query_model: str = "occupied",
-    c_mm: float = C_MM,
-    c_light: Optional[float] = None,
+    r_slab: float = R_SLAB,
+    r_mm: float = R_MM,
+    ns_light: float = NS_LIGHT,
     return_costs: bool = False,
 ):
     """Pick the df threshold minimizing the modeled batch cost.
@@ -115,8 +116,6 @@ def auto_df_threshold(
     df histogram otherwise. One pass over the postings per candidate
     (~nnz * len(candidates) ops — seconds even at 5.4M docs).
     """
-    if c_light is None:
-        c_light = C_LIGHT_FUSED if engine == "fused" else C_LIGHT_STAGED
     df = index.doc_freqs
     n = index.num_docs
     n_pad = _padded(n)
@@ -146,10 +145,10 @@ def auto_df_threshold(
         pool = np.where(live & ~(df[qb] > t), df[qb], 0).sum(axis=1)
         p_pad = _pow2(max(int(pool.max(initial=0)), 1), 64)
 
-        costs[t] = (
-            float(slab_nk) * u_pad
-            + c_mm * u_pad * n_pad * len(qb)
-            + c_light * len(qb) * p_pad
+        costs[t] = (  # milliseconds
+            float(slab_nk) * u_pad / r_slab * 1e3
+            + u_pad * n_pad * len(qb) / r_mm * 1e3
+            + len(qb) * p_pad * ns_light * 1e-6
         )
     best = min(costs, key=costs.get)
     if return_costs:

@@ -166,7 +166,8 @@ class TfidfRanker:
         mode: str = "auto",
         fixed_union_cap: Optional[int] = None,
         fixed_max_terms: Optional[int] = None,
-        df_threshold: int = 128,
+        df_threshold="auto",  # int, or "auto": cost-model argmin from the
+        #   df histogram + a synthesized query sample (index/autotune.py)
         precision: str = "highest",  # "default": bf16 scores matmul (ranking
         #                               holds; scores drift ~0.2% rel)
         width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
@@ -209,6 +210,11 @@ class TfidfRanker:
             from ircl_tpu.index.split import bucket_heavy, split_index
             from ircl_tpu.ops.membership_pallas import pad_for_slab
 
+            if df_threshold == "auto":
+                from ircl_tpu.index.autotune import auto_df_threshold
+
+                df_threshold = auto_df_threshold(index)
+            self.df_threshold = df_threshold
             self._split = split_index(index, df_threshold=df_threshold)
             put = lambda x: jax.device_put(x, device)
             if width_buckets == 2:
