@@ -63,22 +63,35 @@ def main():
 
     qps_flat = steady(lambda: cosine_topk(q_d, corpus_d, k=K), "flat topk")
 
-    # two-phase chunked top-k (exact; see dense/scorer.py): compile + full
-    # parity vs the flat path, then steady-state
-    s2, i2 = cosine_topk_twophase(q_d, corpus_d, k=K, chunk=128)
+    # two-phase chunked top-k (dense/scorer.py). precision="highest" keeps
+    # the whole path f32 — EXACT vs the numpy reference (the flat baseline's
+    # default-precision dot is bf16-input on TPU, so it only tracks numpy to
+    # ~5e-3 and can swap near-tied indices).
+    s2, i2 = cosine_topk_twophase(
+        q_d, corpus_d, k=K, chunk=128, precision="highest"
+    )
     s2, i2 = np.asarray(s2), np.asarray(i2)
-    sf, if_ = cosine_topk(q_d, corpus_d, k=K)
-    sf, if_ = np.asarray(sf), np.asarray(if_)
-    np.testing.assert_allclose(s2, sf, rtol=1e-6)
-    agree = all(set(i2[b]) == set(if_[b]) for b in range(B))
-    log(f"two-phase parity vs flat: scores exact, index sets agree={agree}")
-    assert agree
+    n_chk = 32
+    ref_chk = queries[:n_chk] @ corpus.T
+    for b in range(n_chk):
+        order = np.argsort(-ref_chk[b], kind="stable")[:K]
+        np.testing.assert_allclose(s2[b], ref_chk[b][order], rtol=1e-5)
+        assert set(i2[b].tolist()) == set(order.tolist()), b
+    log(f"two-phase(highest) exact vs numpy f32 on {n_chk} queries")
     qps_two = steady(
-        lambda: cosine_topk_twophase(q_d, corpus_d, k=K, chunk=128),
-        "two-phase",
+        lambda: cosine_topk_twophase(
+            q_d, corpus_d, k=K, chunk=128, precision="highest"
+        ),
+        "two-phase f32-exact",
+    )
+    qps_two_fast = steady(
+        lambda: cosine_topk_twophase(
+            q_d, corpus_d, k=K, chunk=128, precision="default"
+        ),
+        "two-phase bf16 (same numerics class as flat)",
     )
 
-    qps = max(qps_flat, qps_two)
+    qps = max(qps_flat, qps_two, qps_two_fast)
     print(
         json.dumps(
             {

@@ -54,6 +54,10 @@ class ContrastiveTrainer:
         self.state = init_train_state(jax.random.PRNGKey(seed), config)
         self._proto_key = jax.random.PRNGKey(seed + 1)
         self.cluster_result: Optional[ClusterResult] = None
+        # cumulative cluster-refresh cost (full-corpus embed + clustering);
+        # the reference never measures this (src/train.py:96-122)
+        self.refresh_seconds = 0.0
+        self.refresh_count = 0
 
     # -- resume -------------------------------------------------------------
 
@@ -66,6 +70,7 @@ class ContrastiveTrainer:
     # -- clustering ---------------------------------------------------------
 
     def _refresh_clusters(self) -> None:
+        t0 = time.time()
         cfg = self.config
         # Embed one anchor sentence per document, in document order, so
         # emb2cluster[doc_idx] is well-defined. (The reference embeds both
@@ -83,6 +88,8 @@ class ContrastiveTrainer:
             self.cluster_result = run_kmeans(
                 emb, cfg.num_clusters, cfg.temperature
             )
+        self.refresh_seconds += time.time() - t0
+        self.refresh_count += 1
 
     def _proto_inputs(self, doc_idx: np.ndarray):
         """Per-granularity batch cluster ids + sampled negative prototypes."""

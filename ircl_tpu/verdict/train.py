@@ -54,6 +54,7 @@ def train_verdict(
     seed: int = 1009,  # reference QA seed (config.yaml:139)
     logdir: Optional[str] = None,
     save_path: Optional[str] = None,
+    init_params=None,  # warm start (curriculum phases share one model)
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
@@ -61,7 +62,11 @@ def train_verdict(
     n_val = max(1, int(n * val_fraction)) if n > 1 else 0
     val_idx, train_idx = order[:n_val], order[n_val:]
 
-    params = init_verdict_params(jax.random.PRNGKey(seed), cfg)
+    params = (
+        init_params
+        if init_params is not None
+        else init_verdict_params(jax.random.PRNGKey(seed), cfg)
+    )
     step_fn, tx = make_verdict_train_step(cfg)
     opt_state = tx.init(params)
     metrics = MetricsLogger(logdir, "verdict") if logdir else None

@@ -103,30 +103,61 @@ def main():
     }
 
     # ---- train on gold evidence (the reference trains on FEVER gold) -------
+    # Three-phase curriculum (all phases gold-evidence; measured round 3):
+    #   A  pure gold                      -- the value-comparison task is
+    #      learnable from random init here (val 0.92 @ 10 ep) but NOT in
+    #      any distractor format (val 0.50 @ 20 ep from scratch);
+    #   B  gold + random-doc distractors  -- adapts the reader to the
+    #      multi-sentence serving format (val 0.81);
+    #   C  gold + 50% same-doc distractors -- retrieval's stage-2 candidate
+    #      lists are dominated by same-doc sentences sharing the claim's
+    #      entity tokens; this phase is unlearnable before B (starting it
+    #      at epoch 9 collapsed the gold ceiling to 0.71) but a warm B
+    #      model can adapt.
+    # The reference needs no curriculum because pretrained roberta absorbs
+    # the format shift (src/QA/model.py:13).
     res["train_distractors"] = args.train_distractors
-    if args.train_distractors > 0:
-        rng_t = np.random.default_rng(11)
+
+    def build_aug(same_doc_frac: float, seed: int):
+        rng_t = np.random.default_rng(seed)
         all_ids = list(doc_sents.keys())
         override = []
         for c in train_claims:
             gold = [(d, s) for d, ss in c.evidences.items() for s in ss]
+            gold_doc = gold[0][0]
             n_d = int(rng_t.integers(0, args.train_distractors + 1))
-            picks = [
-                (d, int(rng_t.integers(len(doc_sents[d]))))
-                for d in (
-                    all_ids[int(rng_t.integers(len(all_ids)))]
-                    for _ in range(n_d)
-                )
-            ]
+            picks = []
+            for _ in range(n_d):
+                if (
+                    rng_t.random() < same_doc_frac
+                    and len(doc_sents[gold_doc]) > 1
+                ):
+                    d = gold_doc
+                else:
+                    d = all_ids[int(rng_t.integers(len(all_ids)))]
+                picks.append((d, int(rng_t.integers(len(doc_sents[d])))))
             pos = int(rng_t.integers(0, n_d + 1))
             override.append(picks[:pos] + gold + picks[pos:])
-        train_ex = build_examples(
+        return build_examples(
             train_claims, doc_sents, evidence_override=override
         )
+
+    train_ex_gold = build_examples(train_claims, doc_sents)
+    if args.train_distractors > 0:
+        e_b = max(args.epochs * 10 // 28, 1)
+        e_c = max(args.epochs * 8 // 28, 1)
+        e_a = max(args.epochs - e_b - e_c, 1)
+        phases = [
+            (train_ex_gold, e_a),
+            (build_aug(0.0, 11), e_b),
+            (build_aug(0.5, 13), e_c),
+        ]
+        tok_corpus = phases[2][0]
     else:
-        train_ex = build_examples(train_claims, doc_sents)
+        phases = [(train_ex_gold, args.epochs)]
+        tok_corpus = train_ex_gold
     tok = WordPieceTokenizer.train(
-        [e.claim for e in train_ex] + [e.evidence_text for e in train_ex],
+        [e.claim for e in tok_corpus] + [e.evidence_text for e in tok_corpus],
         vocab_size=4096,
     )
     vcfg = VerdictConfig(
@@ -143,12 +174,16 @@ def main():
         freeze_body_until_warmup=True,
         max_length=args.max_length,
     )
-    ids, mask, types, labels = encode_examples(train_ex, tok, args.max_length)
     t0 = time.time()
-    params, history = train_verdict(
-        vcfg, ids, mask, types, labels,
-        epochs=args.epochs, batch_size=32, val_fraction=0.05,
-    )
+    params, history = None, []
+    for ex, n_ep in phases:
+        ids, mask, types, labels = encode_examples(ex, tok, args.max_length)
+        params, hist = train_verdict(
+            vcfg, ids, mask, types, labels,
+            epochs=n_ep, batch_size=32, val_fraction=0.05,
+            init_params=params,
+        )
+        history = history + hist
     res["train_s"] = round(time.time() - t0, 1)
     res["final_val_macro_f1"] = history[-1]["val_macro_f1"]
     log_hist = [
@@ -198,9 +233,13 @@ def main():
             out.append(picks)
         return out
 
+    retrieved = tfidf_override()
     variants = {
         "ground_truth": None,
-        "tfidf_retrieval": tfidf_override(),
+        "tfidf_retrieval": retrieved,
+        # top-3 sentences of the same retrieval (recall@3 == recall@5 here):
+        # fewer hard negatives in the window, same evidence coverage
+        "tfidf_retrieval_k3": [sents[:3] for sents in retrieved],
         "claim_only": [[] for _ in dev_claims],
         "random_evidence": random_override(),
     }
