@@ -97,13 +97,18 @@ def cosine_topk_twophase(
     B = queries.shape[0]
     m = corpus.shape[0]
     kk = min(k, m)
-    nc = m // chunk
-    assert m % chunk == 0, (m, chunk)
+    nc = -(-m // chunk)
     h = jax.lax.dot_general(
         queries, corpus, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_DENSE_PREC[precision],
     )  # [B, M]
+    if nc * chunk != m:
+        # -inf column pad (cosines can be negative, so zero-padding the
+        # CORPUS rows would be wrong — pad the score matrix instead)
+        h = jnp.concatenate(
+            [h, jnp.full((B, nc * chunk - m), -jnp.inf, jnp.float32)], axis=1
+        )
     cmax = h.reshape(B, nc, chunk).max(axis=-1)
     _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk] winning chunk ids
     flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)

@@ -74,14 +74,11 @@ def test_cosine_topk_twophase_exact(data):
     from ircl_tpu.dense.scorer import cosine_topk_twophase
 
     Q, C = data
-    # pad corpus rows to a chunk multiple like production callers do
+    # chunk NOT dividing the corpus rows: internal -inf column padding
     chunk = 25
-    m = C.shape[0]
-    pad = -(-m // chunk) * chunk - m
-    Cp = np.concatenate([C, np.zeros((pad, C.shape[1]), C.dtype)])
     s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
     s1, i1 = cosine_topk_twophase(
-        jnp.asarray(Q), jnp.asarray(Cp), k=5, chunk=chunk
+        jnp.asarray(Q), jnp.asarray(C), k=5, chunk=chunk
     )
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
     for b in range(Q.shape[0]):
