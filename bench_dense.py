@@ -25,7 +25,11 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from ircl_tpu.dense.scorer import cosine_topk, cosine_topk_twophase
+    from ircl_tpu.dense.scorer import (
+        cosine_topk,
+        cosine_topk_scan,
+        cosine_topk_twophase,
+    )
 
     M, D, B, K = 1_000_000, 128, 1024, 5
     rng = np.random.default_rng(0)
@@ -91,7 +95,25 @@ def main():
         "two-phase bf16 (same numerics class as flat)",
     )
 
-    qps = max(qps_flat, qps_two, qps_two_fast)
+    # scanned phase-1 (H never materialized); chunk=64 and block=200K
+    # divide 1M exactly
+    s3, i3 = cosine_topk_scan(
+        q_d, corpus_d, k=K, chunk=64, block=200_000, precision="highest"
+    )
+    s3, i3 = np.asarray(s3), np.asarray(i3)
+    for b in range(n_chk):
+        order = np.argsort(-ref_chk[b], kind="stable")[:K]
+        np.testing.assert_allclose(s3[b], ref_chk[b][order], rtol=1e-5)
+        assert set(i3[b].tolist()) == set(order.tolist()), b
+    log(f"scan(highest) exact vs numpy f32 on {n_chk} queries")
+    qps_scan = steady(
+        lambda: cosine_topk_scan(
+            q_d, corpus_d, k=K, chunk=64, block=200_000, precision="highest"
+        ),
+        "scan f32-exact",
+    )
+
+    qps = max(qps_flat, qps_two, qps_two_fast, qps_scan)
     print(
         json.dumps(
             {

@@ -126,6 +126,60 @@ _DENSE_PREC = {
 }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "block", "precision")
+)
+def cosine_topk_scan(
+    queries: jnp.ndarray,  # [B, D] L2-normalized
+    corpus: jnp.ndarray,  # [M, D] L2-normalized, M % block == 0
+    k: int,
+    chunk: int = 128,
+    block: int = 62_500 * 16,  # corpus rows per scan step
+    precision: str = "highest",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-phase top-k with a SCANNED phase 1: the [B, M] score matrix is
+    never materialized — each scan step computes one corpus block's scores
+    and immediately reduces them to chunk maxima, so phase-1 HBM traffic is
+    the corpus read plus the tiny [B, M/chunk] chunk-max matrix. Phase 2
+    gathers the k winning chunks' CORPUS ROWS and rescores them (same
+    precision, [B, k*chunk] candidate matrix).
+
+    Same selection guarantee as ``cosine_topk_twophase``; phase-1 and
+    phase-2 scores for the same (query, row) pair are both D-length dots at
+    the given precision, so consistency holds to reassociation ulps (exact
+    index agreement verified empirically in bench_dense across the 1M
+    corpus)."""
+    B = queries.shape[0]
+    m, d = corpus.shape
+    kk = min(k, m)
+    assert m % block == 0 and block % chunk == 0, (m, block, chunk)
+    nb = m // block
+    prec = _DENSE_PREC[precision]
+
+    def body(_, bi):
+        rows = jax.lax.dynamic_slice_in_dim(corpus, bi * block, block)
+        s = jax.lax.dot_general(
+            queries, rows, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [B, block]
+        return None, s.reshape(B, block // chunk, chunk).max(axis=-1)
+
+    _, cm = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+    cmax = jnp.moveaxis(cm, 0, 1).reshape(B, m // chunk)
+    _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk]
+
+    flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    flat = flat.reshape(B, kk * chunk)  # [B, kk*chunk] global row ids
+    rows_sel = corpus[flat]  # [B, kk*chunk, D] gather
+    cand = jax.lax.dot_general(
+        queries[:, None, :], rows_sel, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec,
+    )[:, 0, :]  # [B, kk*chunk]
+    s, si = jax.lax.top_k(cand, kk)
+    gi = jnp.take_along_axis(flat, si, axis=1)
+    return s, gi.astype(jnp.int32)
+
+
 def shard_corpus(corpus: np.ndarray, mesh: Mesh, axis: str = "corpus"):
     """Pad the corpus row count to a multiple of the mesh axis and place it
     row-sharded. Padding rows are zero (cosine 0, never in top-k of real

@@ -105,3 +105,23 @@ def test_cosine_topk_twophase_clustered():
     s1, i1 = cosine_topk_twophase(jnp.asarray(q), jnp.asarray(C), k=5, chunk=chunk)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
     assert set(np.asarray(i1)[0].tolist()) == set(np.asarray(i0)[0].tolist())
+
+
+def test_cosine_topk_scan_matches_flat(data):
+    from ircl_tpu.dense.scorer import cosine_topk_scan
+
+    Q, C = data
+    m = C.shape[0]
+    # make m divisible by block and chunk
+    block, chunk = 50, 10
+    mm = m // block * block
+    Cb = C[:mm]
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(Cb), k=5)
+    s1, i1 = cosine_topk_scan(
+        jnp.asarray(Q), jnp.asarray(Cb), k=5, chunk=chunk, block=block
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
