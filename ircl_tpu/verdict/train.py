@@ -55,6 +55,9 @@ def train_verdict(
     logdir: Optional[str] = None,
     save_path: Optional[str] = None,
     init_params=None,  # warm start (curriculum phases share one model)
+    stop_at_val_f1: Optional[float] = None,  # early exit once val reaches
+    #   the criterion ("train to target": epoch counts are run-to-run
+    #   unstable for random-init tiny transformers)
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
@@ -107,6 +110,12 @@ def train_verdict(
             metrics.scalar("qa_train_loss", history[-1]["train_loss"] or 0.0, step)
             if rep:
                 metrics.scalar("qa_val_macro_f1", rep["macro_f1"], step)
+        if (
+            stop_at_val_f1 is not None
+            and rep is not None
+            and rep["macro_f1"] >= stop_at_val_f1
+        ):
+            break
 
     if save_path:
         ckptr = ocp.StandardCheckpointer()
