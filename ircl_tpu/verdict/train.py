@@ -58,6 +58,8 @@ def train_verdict(
     stop_at_val_f1: Optional[float] = None,  # early exit once val reaches
     #   the criterion ("train to target": epoch counts are run-to-run
     #   unstable for random-init tiny transformers)
+    keep_best: bool = False,  # return the best-val-F1 epoch's params
+    #   instead of the last (fine-tune phases peak mid-run then forget)
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
@@ -76,6 +78,7 @@ def train_verdict(
 
     step = 0
     history = []
+    best_f1, best_params = -1.0, None
     for epoch in range(epochs):
         ep_order = rng.permutation(train_idx)
         losses = []
@@ -110,12 +113,18 @@ def train_verdict(
             metrics.scalar("qa_train_loss", history[-1]["train_loss"] or 0.0, step)
             if rep:
                 metrics.scalar("qa_val_macro_f1", rep["macro_f1"], step)
+        if keep_best and rep is not None and rep["macro_f1"] > best_f1:
+            best_f1 = rep["macro_f1"]
+            best_params = jax.tree.map(np.asarray, params)
         if (
             stop_at_val_f1 is not None
             and rep is not None
             and rep["macro_f1"] >= stop_at_val_f1
         ):
             break
+
+    if keep_best and best_params is not None:
+        params = jax.tree.map(jnp.asarray, best_params)
 
     if save_path:
         ckptr = ocp.StandardCheckpointer()

@@ -184,18 +184,24 @@ def main():
         # comparison task varies by several epochs run-to-run, and a weak
         # phase A poisons everything after it (measured: phase A val 0.92
         # vs 0.65 across runs of the same budget).
+        # (examples, max epochs, stop criterion, lr, keep_best). Fine-tune
+        # phases run at 1/3 LR (full LR forgets: B-val decayed 0.77 -> 0.74
+        # over a phase) and return their best-val epoch (C peaked mid-phase
+        # at 0.843 then slid to 0.808).
         phases = [
-            (train_ex_gold, args.epochs, 0.90),
-            (build_aug(0.0, 11), max(args.epochs // 2, 1), 0.85),
+            (train_ex_gold, args.epochs, 0.90, 3e-4, False),
+            (build_aug(0.0, 11), max(args.epochs // 2, 1), None, 1e-4, True),
             (
-                build_aug(0.5, 13, overlap=True, fixed_n=True),
+                build_aug(0.5, 13),
                 max(args.epochs // 2, 1),
-                0.88,
+                None,
+                1e-4,
+                True,
             ),
         ]
         tok_corpus = phases[2][0]
     else:
-        phases = [(train_ex_gold, args.epochs, None)]
+        phases = [(train_ex_gold, args.epochs, None, 3e-4, False)]
         tok_corpus = train_ex_gold
     tok = WordPieceTokenizer.train(
         [e.claim for e in tok_corpus] + [e.evidence_text for e in tok_corpus],
@@ -216,13 +222,17 @@ def main():
         max_length=args.max_length,
     )
     t0 = time.time()
+    import dataclasses
+
     params, history = None, []
-    for ex, n_ep, target in phases:
+    for ex, n_ep, target, lr, keep_best in phases:
         ids, mask, types, labels = encode_examples(ex, tok, args.max_length)
+        cfg_p = dataclasses.replace(vcfg, learning_rate=lr)
         params, hist = train_verdict(
-            vcfg, ids, mask, types, labels,
+            cfg_p, ids, mask, types, labels,
             epochs=n_ep, batch_size=32, val_fraction=0.05,
             init_params=params, stop_at_val_f1=target,
+            keep_best=keep_best,
         )
         history = history + hist
     res["train_s"] = round(time.time() - t0, 1)
