@@ -118,23 +118,32 @@ def main():
     # the format shift (src/QA/model.py:13).
     res["train_distractors"] = args.train_distractors
 
-    def build_aug(same_doc_frac: float, seed: int, overlap: bool = False,
-                  fixed_n: bool = False):
-        """Gold evidence + distractor sentences. ``overlap=True`` samples
-        distractors weighted by shared-token count with the claim — the
-        cheap stand-in for retrieval's tf-idf-selected hard negatives
-        (serving-time stage-2 candidates share maximal vocabulary with the
-        claim, not random vocabulary). ``fixed_n`` pins the distractor
-        count to the serving format's (k_sents - 1)."""
+    import re as _re
+
+    _val_re = _re.compile(r"\bval(\d+)\b")
+    # val token -> sentences containing it (the "val trap" pool, see below)
+    _val_inv = {}
+    for _d, _sents in doc_sents.items():
+        for _si, _sent in enumerate(_sents):
+            for _v in set(_val_re.findall(_sent)):
+                _val_inv.setdefault(_v, []).append((_d, _si))
+
+    def build_aug(same_doc_frac: float, seed: int, fixed_n: bool = False,
+                  refute_val_trap: float = 0.0):
+        """Gold evidence + distractor sentences.
+
+        ``refute_val_trap``: probability that a REFUTES claim's evidence
+        includes a distractor sentence containing the CLAIM's (corrupted)
+        val token. This is the serving distribution's defining trap: the
+        claim's val is itself a tf-idf retrieval feature, so retrieval
+        pulls in sentences containing it — measured 74% of retrieved
+        REFUTES evidence vs 8% under uniform distractor sampling. A model
+        trained without the trap learns "claim val present => SUPPORTS"
+        and that shortcut misfires on 3/4 of retrieved REFUTES claims.
+        ``fixed_n`` pins the distractor count to the serving format's
+        (k_sents - 1)."""
         rng_t = np.random.default_rng(seed)
         all_ids = list(doc_sents.keys())
-        inv = None
-        if overlap:
-            inv = {}
-            for d, sents in doc_sents.items():
-                for si, sent in enumerate(sents):
-                    for w in set(sent.rstrip(" .").split()):
-                        inv.setdefault(w, []).append((d, si))
         override = []
         for c in train_claims:
             gold = [(d, s) for d, ss in c.evidences.items() for s in ss]
@@ -145,23 +154,19 @@ def main():
                 else int(rng_t.integers(0, args.train_distractors + 1))
             )
             picks = []
-            if overlap:
-                # count token overlaps per candidate sentence
-                counts = {}
-                for w in set(c.claim.rstrip(" .").split()):
-                    for key in inv.get(w, ()):
-                        counts[key] = counts.get(key, 0) + 1
-                cands = [k for k in counts if k not in set(gold)]
-                if cands:
-                    w_arr = np.array(
-                        [counts[k] for k in cands], dtype=np.float64
-                    )
-                    p = w_arr / w_arr.sum()
-                    sel = rng_t.choice(
-                        len(cands), size=min(n_d, len(cands)),
-                        replace=False, p=p,
-                    )
-                    picks = [cands[int(j)] for j in sel]
+            if (
+                refute_val_trap > 0.0
+                and c.label == "REFUTES"
+                and n_d > 0
+                and rng_t.random() < refute_val_trap
+            ):
+                cv = _val_re.findall(c.claim)
+                pool = [
+                    k for k in _val_inv.get(cv[0] if cv else "", ())
+                    if k not in gold
+                ]
+                if pool:
+                    picks.append(pool[int(rng_t.integers(len(pool)))])
             while len(picks) < n_d:
                 if (
                     rng_t.random() < same_doc_frac
@@ -171,6 +176,7 @@ def main():
                 else:
                     d = all_ids[int(rng_t.integers(len(all_ids)))]
                 picks.append((d, int(rng_t.integers(len(doc_sents[d])))))
+            rng_t.shuffle(picks)
             pos = int(rng_t.integers(0, n_d + 1))
             override.append(picks[:pos] + gold + picks[pos:])
         return build_examples(
@@ -192,7 +198,7 @@ def main():
             (train_ex_gold, args.epochs, 0.90, 3e-4, False),
             (build_aug(0.0, 11), max(args.epochs // 2, 1), None, 1e-4, True),
             (
-                build_aug(0.5, 13),
+                build_aug(0.5, 13, fixed_n=True, refute_val_trap=0.74),
                 max(args.epochs // 2, 1),
                 None,
                 1e-4,
