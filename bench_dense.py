@@ -88,6 +88,10 @@ def main():
         ),
         "two-phase f32-exact",
     )
+    warm = cosine_topk_twophase(
+        q_d, corpus_d, k=K, chunk=128, precision="default"
+    )
+    jax.block_until_ready(warm)  # compile outside the timed loop
     qps_two_fast = steady(
         lambda: cosine_topk_twophase(
             q_d, corpus_d, k=K, chunk=128, precision="default"

@@ -71,7 +71,7 @@ def cosine_topk(
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "precision"))
 def cosine_topk_twophase(
     queries: jnp.ndarray,  # [B, D] L2-normalized
-    corpus: jnp.ndarray,  # [M, D] L2-normalized, M % chunk == 0
+    corpus: jnp.ndarray,  # [M, D] L2-normalized (any M: -inf column pad)
     k: int,
     chunk: int = 128,
     precision: str = "highest",
@@ -110,10 +110,11 @@ def cosine_topk_twophase(
             [h, jnp.full((B, nc * chunk - m), -jnp.inf, jnp.float32)], axis=1
         )
     cmax = h.reshape(B, nc, chunk).max(axis=-1)
-    _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk] winning chunk ids
+    kc = min(kk, nc)  # can't select more chunks than exist (kc*chunk >= kk)
+    _, cidx = jax.lax.top_k(cmax, kc)  # [B, kc] winning chunk ids
     flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    flat = flat.reshape(B, kk * chunk)
-    cand = jnp.take_along_axis(h, flat, axis=1)  # [B, kk*chunk]
+    flat = flat.reshape(B, kc * chunk)
+    cand = jnp.take_along_axis(h, flat, axis=1)  # [B, kc*chunk]
     s, si = jax.lax.top_k(cand, kk)
     gi = jnp.take_along_axis(flat, si, axis=1)
     return s, gi.astype(jnp.int32)
@@ -166,15 +167,16 @@ def cosine_topk_scan(
 
     _, cm = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
     cmax = jnp.moveaxis(cm, 0, 1).reshape(B, m // chunk)
-    _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk]
+    kc = min(kk, m // chunk)  # can't select more chunks than exist
+    _, cidx = jax.lax.top_k(cmax, kc)  # [B, kc]
 
     flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    flat = flat.reshape(B, kk * chunk)  # [B, kk*chunk] global row ids
-    rows_sel = corpus[flat]  # [B, kk*chunk, D] gather
+    flat = flat.reshape(B, kc * chunk)  # [B, kc*chunk] global row ids
+    rows_sel = corpus[flat]  # [B, kc*chunk, D] gather
     cand = jax.lax.dot_general(
         queries[:, None, :], rows_sel, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec,
-    )[:, 0, :]  # [B, kk*chunk]
+    )[:, 0, :]  # [B, kc*chunk]
     s, si = jax.lax.top_k(cand, kk)
     gi = jnp.take_along_axis(flat, si, axis=1)
     return s, gi.astype(jnp.int32)

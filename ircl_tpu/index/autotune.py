@@ -101,6 +101,7 @@ def synthesize_query_sample(
 def auto_df_threshold(
     index,
     batch: int = 1024,
+    max_terms: int = 24,
     query_sample: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     candidates: Sequence[int] = DEFAULT_CANDIDATES,
     query_model: str = "occupied",
@@ -113,29 +114,48 @@ def auto_df_threshold(
 
     ``index``: a CountIndex (weighted or not). ``query_sample``: optional
     ([B, T] buckets, [B, T] weights) from real traffic; synthesized from the
-    df histogram otherwise. One pass over the postings per candidate
-    (~nnz * len(candidates) ops — seconds even at 5.4M docs).
+    df histogram otherwise (``max_terms`` sets its per-query term count —
+    callers should pass their serving profile). ONE pass over the postings
+    covers every candidate (seconds at 1M; the flattened histogram key is
+    the peak transient, ~8 bytes/posting).
     """
     df = index.doc_freqs
     n = index.num_docs
     n_pad = _padded(n)
-    df_post = df[
-        np.repeat(
-            np.arange(index.hash_size, dtype=np.int64), np.diff(index.indptr)
-        )
-    ]
+    candidates = sorted(candidates)
+    # One pass over the postings for ALL candidates: df per posting comes
+    # straight from repeating doc_freqs by row length (no hash_size-wide
+    # arange or gather), each posting is binned by its df against the
+    # candidate ladder, and a single [N, n_bins] histogram + suffix-sum
+    # yields the per-doc heavy width at every threshold. Peak transient is
+    # the flattened int64 histogram key (~8 bytes/posting).
+    df_post = np.repeat(
+        df.astype(np.int32), np.diff(index.indptr).astype(np.int64)
+    )
+    bins = np.searchsorted(
+        np.asarray(candidates, np.int32), df_post, side="left"
+    ).astype(np.int8)  # bin b: candidates[b-1] < df <= candidates[b]
+    n_bins = len(candidates) + 1
+    hist = np.bincount(
+        index.post_docs.astype(np.int64) * n_bins + bins,
+        minlength=n * n_bins,
+    ).reshape(n, n_bins)
+    # widths at threshold candidates[i] = postings with df > candidates[i]
+    # = bins strictly greater than i (side="left": df == cand -> bin i)
+    widths_at = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # suffix sums
+    del df_post, bins, hist
     if query_sample is None:
-        qb, qw = synthesize_query_sample(df, batch, model=query_model)
+        qb, qw = synthesize_query_sample(
+            df, batch, max_terms=max_terms, model=query_model
+        )
     else:
         qb, qw = query_sample
         qb = qb.astype(np.int64)
     live = qw != 0.0
 
     costs = {}
-    for t in candidates:
-        widths = np.bincount(
-            index.post_docs, weights=(df_post > t), minlength=n
-        ).astype(np.int64)
+    for i, t in enumerate(candidates):
+        widths = widths_at[:, i + 1]
         slab_nk = _bucketed_slab_nk(np.sort(widths))
 
         heavy_q = (df[qb] > t) & live

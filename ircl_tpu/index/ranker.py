@@ -213,7 +213,9 @@ class TfidfRanker:
             if df_threshold == "auto":
                 from ircl_tpu.index.autotune import auto_df_threshold
 
-                df_threshold = auto_df_threshold(index)
+                df_threshold = auto_df_threshold(
+                    index, max_terms=fixed_max_terms or 24
+                )
             self.df_threshold = df_threshold
             self._split = split_index(index, df_threshold=df_threshold)
             put = lambda x: jax.device_put(x, device)
@@ -382,8 +384,9 @@ class TfidfRanker:
                 sort_pools=True,
                 pad_doc=len(self._bucketed.pos2old),
             )
-            # the fused light-add kernel re-streams pool blocks per doc-tile;
-            # past ~200K docs that traffic outweighs the gather it replaces.
+            # Round 3 made pool blocks VMEM-resident across the doc sweep
+            # (light_add grid is batch-outer now); the 200K gate is retained
+            # until sweep_df re-measures the crossover on hardware.
             if self.dev.num_docs <= self.FUSED_LIGHT_MAX_DOCS:
                 return hybrid_topk_bucketed_fused(
                     *self._heavy_a,

@@ -242,7 +242,11 @@ def main():
         )
         history = history + hist
     res["train_s"] = round(time.time() - t0, 1)
-    res["final_val_macro_f1"] = history[-1]["val_macro_f1"]
+    # with keep_best the evaluated params are the last phase's BEST epoch,
+    # so report that val F1 (the last epoch's would mislabel the table)
+    res["final_val_macro_f1"] = max(
+        (h["val_macro_f1"] or 0.0) for h in hist
+    )
     log_hist = [
         (h["epoch"], round(h["train_loss"], 4), round(h["val_macro_f1"] or 0, 3))
         for h in history

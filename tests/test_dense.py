@@ -125,3 +125,25 @@ def test_cosine_topk_scan_matches_flat(data):
         assert set(np.asarray(i1)[b].tolist()) == set(
             np.asarray(i0)[b].tolist()
         )
+
+
+def test_cosine_topk_twophase_small_corpus_k_exceeds_chunks():
+    """k > number of chunks (M < k*chunk at default chunk): must not crash
+    and must stay exact (review finding, round 3)."""
+    from ircl_tpu.dense.scorer import cosine_topk_scan, cosine_topk_twophase
+
+    rng = np.random.default_rng(9)
+    Q = rng.normal(size=(4, 16)).astype(np.float32)
+    C = rng.normal(size=(200, 16)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    s1, i1 = cosine_topk_twophase(jnp.asarray(Q), jnp.asarray(C), k=5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    s2, i2 = cosine_topk_scan(
+        jnp.asarray(Q), jnp.asarray(C), k=5, chunk=50, block=100
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s0), rtol=1e-6)
+    for b in range(4):
+        assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i0)[b].tolist())
+        assert set(np.asarray(i2)[b].tolist()) == set(np.asarray(i0)[b].tolist())
