@@ -52,6 +52,9 @@ def generate(
     refute_marker: bool = True,
     refute_corrupt: float = 0.5,
     value_tokens: bool = False,
+    val_range: int = 50,  # fact-slot cardinality; real FEVER slots (dates,
+    #   numbers) are high-cardinality — small ranges make corrupted values
+    #   collide with distractor sentences' values far more than real data
     seed: int = 0,
 ) -> SyntheticWiki:
     """Build a synthetic wiki + claims with gold evidence.
@@ -100,7 +103,7 @@ def generate(
                 # agrees with (SUPPORTS) or contradicts (REFUTES). Digit
                 # suffix => the claim-keep and refute-corrupt rules always
                 # preserve it, like entity tokens.
-                v = int(rng.integers(50))
+                v = int(rng.integers(val_range))
                 words.insert(int(rng.integers(0, len(words) + 1)), f"val{v}")
             sents.append(" ".join(words) + " .")
         sentences[title] = sents
@@ -147,9 +150,9 @@ def generate(
                     None,
                 )
                 if gold_v is not None:
-                    w_new = f"val{int(rng.integers(50))}"
+                    w_new = f"val{int(rng.integers(val_range))}"
                     while w_new == gold_v:
-                        w_new = f"val{int(rng.integers(50))}"
+                        w_new = f"val{int(rng.integers(val_range))}"
                     kept = [w_new if w == gold_v else w for w in kept]
         claim_text = " ".join(kept + noise) + " ."
         claims.append(
