@@ -61,6 +61,12 @@ def main():
     # 0.625). Real fact slots (dates, years, counts) are high-cardinality,
     # where the trap is rare; 500 matches that regime.
     ap.add_argument("--val-range", type=int, default=500)
+    # REFUTES val-trap rate injected into phase C (0 disables). The serving
+    # distribution's measured rates: 0.74 at val_range=50, 0.48 at 500 —
+    # tf-idf actively retrieves documents containing the claim's corrupted
+    # value (it is a rare, high-idf query term), so the classifier must not
+    # rely on "claim value present somewhere in evidence".
+    ap.add_argument("--phase-c-trap", type=float, default=0.48)
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
 
@@ -208,7 +214,10 @@ def main():
             (train_ex_gold, args.epochs, 0.90, 3e-4, False),
             (build_aug(0.0, 11), max(args.epochs // 2, 1), None, 1e-4, True),
             (
-                build_aug(0.5, 13, fixed_n=True),
+                build_aug(
+                    0.5, 13, fixed_n=True,
+                    refute_val_trap=args.phase_c_trap,
+                ),
                 max(args.epochs // 2, 1),
                 None,
                 1e-4,
