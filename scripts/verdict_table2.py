@@ -64,9 +64,13 @@ def main():
     # REFUTES val-trap rate injected into phase C (0 disables). The serving
     # distribution's measured rates: 0.74 at val_range=50, 0.48 at 500 —
     # tf-idf actively retrieves documents containing the claim's corrupted
-    # value (it is a rare, high-idf query term), so the classifier must not
-    # rely on "claim value present somewhere in evidence".
-    ap.add_argument("--phase-c-trap", type=float, default=0.48)
+    # value (a rare, high-idf query term). MEASURED NEGATIVE as a training
+    # signal at this model size: injecting it (0.48 or 0.74) caps phase-C
+    # val at ~0.63-0.69 and drags the gold ceiling down with it (0.904 ->
+    # 0.679) — the trap-robust entity-bound comparison circuit is beyond a
+    # random-init 2L transformer regardless of the training distribution.
+    # Kept as an experiment flag; default off (the v9 configuration).
+    ap.add_argument("--phase-c-trap", type=float, default=0.0)
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
 
