@@ -117,7 +117,31 @@ def main():
         "scan f32-exact",
     )
 
-    qps = max(qps_flat, qps_two, qps_two_fast, qps_scan)
+    # fused Pallas phase-1 (dot + chunk-max epilogue in VMEM; scores never
+    # reach HBM). m_tile=8192/chunk=64: the largest config inside the 16MB
+    # scoped-vmem limit (16384/128 OOMs). First compile ~10 min through the
+    # remote compile service; cached persistently afterwards.
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    ct, m_real = pad_corpus_t(corpus, m_tile=8192)
+    ct_d = jax.device_put(ct)
+    s4, i4 = cosine_topk_fused(
+        q_d, ct_d, k=K, chunk=64, m_tile=8192, m_real=m_real
+    )
+    s4, i4 = np.asarray(s4), np.asarray(i4)
+    for b in range(n_chk):
+        order = np.argsort(-ref_chk[b], kind="stable")[:K]
+        np.testing.assert_allclose(s4[b], ref_chk[b][order], rtol=1e-5)
+        assert set(i4[b].tolist()) == set(order.tolist()), b
+    log(f"fused(pallas) exact vs numpy f32 on {n_chk} queries")
+    qps_fused = steady(
+        lambda: cosine_topk_fused(
+            q_d, ct_d, k=K, chunk=64, m_tile=8192, m_real=m_real
+        ),
+        "fused pallas f32-exact",
+    )
+
+    qps = max(qps_flat, qps_two, qps_two_fast, qps_scan, qps_fused)
     print(
         json.dumps(
             {

@@ -147,3 +147,21 @@ def test_cosine_topk_twophase_small_corpus_k_exceeds_chunks():
     for b in range(4):
         assert set(np.asarray(i1)[b].tolist()) == set(np.asarray(i0)[b].tolist())
         assert set(np.asarray(i2)[b].tolist()) == set(np.asarray(i0)[b].tolist())
+
+
+def test_cosine_topk_fused_matches_flat(data):
+    """Fused Pallas chunk-max phase 1 == flat top-k (interpret on CPU)."""
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    Q, C = data
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    ct, m_real = pad_corpus_t(C, m_tile=100)  # M=200 not a 100*chunk case
+    s1, i1 = cosine_topk_fused(
+        jnp.asarray(Q), jnp.asarray(ct), k=5, chunk=25, m_tile=100,
+        m_real=m_real, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
