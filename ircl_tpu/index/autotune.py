@@ -28,7 +28,11 @@ calibrated on the v5e via scripts/profile_1m.py + scripts/sweep_df.py):
   folded in; ~242G/s at the 1M profile point),
 - R_MM: MXU MACs/s at precision="high" (bf16_3x, ~60T/s),
 - NS_LIGHT: ns per padded light pool entry end-to-end (host C++ gather +
-  tunnel transfer + device merge; ~65ns at the 1M profile point).
+  tunnel transfer + device merge). 230ns reproduces BOTH measured sweep
+  orderings (scripts/sweep_df.py round 3: 50K/B=2048 fused 32 > 64 > 128;
+  1M/B=1024 staged 256 > 128 > 512); the 1M stage profile alone suggested
+  ~65ns, which inverts the 50K ordering — the light path costs more per
+  entry at large B x T (single-core host assembly + tunnel latency).
 
 The absolute scale is irrelevant — only argmin over t matters — so the
 model survives hardware noise as long as the *ratios* hold.
@@ -43,7 +47,7 @@ import numpy as np
 # Calibrated on TPU v5e (see module docstring); overridable per call.
 R_SLAB = 242e9  # nominal slab compares/s (window skip folded in)
 R_MM = 60e12  # MXU MACs/s at precision="high"
-NS_LIGHT = 65.0  # ns per padded light pool entry (gather+transfer+merge)
+NS_LIGHT = 230.0  # ns per padded light pool entry (gather+transfer+merge)
 
 DEFAULT_CANDIDATES = (16, 32, 64, 128, 256, 512, 1024)
 
