@@ -30,6 +30,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--d-tile", type=int, default=256)
+    ap.add_argument("--df-threshold", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -94,7 +95,7 @@ def main():
     # ---- TPU path ---------------------------------------------------------
     # Pinned serving shapes: one compiled executable for every batch.
     ranker = TfidfRanker(
-        index, mode="hybrid", df_threshold=32, width_buckets=2,
+        index, mode="hybrid", df_threshold=args.df_threshold, width_buckets=2,
         fixed_union_cap=4096, fixed_max_terms=64,
         # bf16_3x matmul: ~1e-6 rel score error, well inside the 1e-4 parity
         # gate below; the f32(6-pass) "highest" tier costs 2x on the MXU.
