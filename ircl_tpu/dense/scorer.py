@@ -204,14 +204,13 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus"):
     from jax import shard_map
 
     def local_fn(queries, corpus_shard):
-        # queries replicated; corpus_shard: [M/n, D] local rows.
+        # queries replicated; corpus_shard: [M/n, D] local rows. Local
+        # scoring via the two-phase chunk-max top-k (exact; sidesteps the
+        # wide flat top_k that dominates at large shards — bench_dense).
         rows_per_shard = corpus_shard.shape[0]
         my = jax.lax.axis_index(axis)
-        scores = jnp.dot(
-            queries, corpus_shard.T, preferred_element_type=jnp.float32
-        )
         kk = min(k, rows_per_shard)
-        s, i = jax.lax.top_k(scores, kk)
+        s, i = cosine_topk_twophase(queries, corpus_shard, kk)
         gids = i.astype(jnp.int32) + my * rows_per_shard
         # Merge across shards: gather the tiny (s, gids) and re-top-k.
         all_s = jax.lax.all_gather(s, axis, axis=0)  # [n, B, kk]
