@@ -83,6 +83,12 @@ def cosine_topk_fused(
     cmax = pl.pallas_call(
         functools.partial(_cmax_kernel, chunk=chunk, m_real=m_real),
         grid=(m // m_tile,),
+        # raise the 16MB scoped-vmem default: the [B, m_tile] f32 score
+        # tile is the working set (32MB at m_tile=8192, 64MB at 16384) and
+        # v5e has 128MB of VMEM to spend
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec((B, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
