@@ -118,15 +118,18 @@ def main():
     )
 
     # fused Pallas phase-1 (dot + chunk-max epilogue in VMEM; scores never
-    # reach HBM). m_tile=8192/chunk=64: the largest config inside the 16MB
-    # scoped-vmem limit (16384/128 OOMs). First compile ~10 min through the
-    # remote compile service; cached persistently afterwards.
+    # reach HBM). fold epilogue = interleaved chunk partition reduced by
+    # log2(chunk) full-width pairwise maxima instead of m_tile/chunk small
+    # strided reductions — 3-4x the loop epilogue in-session; 8192/32 is the
+    # measured plateau (scripts/probe_dense_tiles.py: chunk 32 ~118-125K,
+    # chunk 64 ~102K, 16384/32 within noise). First compile ~10 min through
+    # the remote compile service; cached persistently afterwards.
     from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
 
     ct, m_real = pad_corpus_t(corpus, m_tile=8192)
     ct_d = jax.device_put(ct)
     s4, i4 = cosine_topk_fused(
-        q_d, ct_d, k=K, chunk=64, m_tile=8192, m_real=m_real
+        q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real, epilogue="fold"
     )
     s4, i4 = np.asarray(s4), np.asarray(i4)
     for b in range(n_chk):
@@ -136,9 +139,10 @@ def main():
     log(f"fused(pallas) exact vs numpy f32 on {n_chk} queries")
     qps_fused = steady(
         lambda: cosine_topk_fused(
-            q_d, ct_d, k=K, chunk=64, m_tile=8192, m_real=m_real
+            q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real,
+            epilogue="fold",
         ),
-        "fused pallas f32-exact",
+        "fused pallas f32-exact (fold)",
     )
 
     qps = max(qps_flat, qps_two, qps_two_fast, qps_scan, qps_fused)

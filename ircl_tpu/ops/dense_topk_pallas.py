@@ -15,8 +15,13 @@ phase 1.
 
 Exactness matches ``cosine_topk_twophase``'s argument: the top-k elements
 live in at most k distinct chunks, each with max >= the k-th value, so the
-top-k chunks by max are a superset of the answer. Kernel and rescore use
-f32 dots (HIGHEST) end-to-end.
+top-k chunks by max are a superset of the answer — and the argument holds
+for ANY fixed partition of columns into chunks, which is what the "fold"
+epilogue exploits: chunk j = columns ≡ j (mod m_tile/chunk), reducible by
+log2(chunk) full-width lane-contiguous pairwise maxima instead of
+m_tile/chunk small strided reductions (measured 3-4x the loop epilogue;
+the kernel is epilogue-bound, not dot-bound). The phase-2 rescore is f32
+HIGHEST, so returned scores are f32-exact.
 """
 
 from __future__ import annotations
@@ -30,38 +35,77 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _cmax_kernel(q_ref, c_ref, out_ref, *, chunk: int, m_real: int):
+_PRECISIONS = {
+    None: None,
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _cmax_kernel(
+    q_ref, c_ref, out_ref, *, chunk: int, m_real: int, precision, epilogue
+):
     """Grid cell i: corpus tile i.
 
     q_ref: [B, D] f32 queries (block index constant -> stays resident)
-    c_ref: [D, M_T] f32 corpus tile (transposed: D on sublanes)
+    c_ref: [D, M_T] corpus tile (transposed: D on sublanes); f32, or bf16
+      to halve the HBM read and run the MXU 1-pass (queries are cast to
+      match — exactness then rests on ``extra_chunks`` slack + f32 rescore)
     out_ref: [B, M_T // chunk] f32 chunk maxima (-inf over pad columns:
       zero-padded corpus columns score 0, which can outrank real negative
       cosines, so they are masked exactly)
+
+    ``epilogue`` picks the chunk partition AND its reduction shape:
+      "loop": chunk j = contiguous columns [j*chunk, (j+1)*chunk) — M_T/chunk
+        small strided VPU reductions.
+      "fold": chunk j = columns ≡ j (mod M_T/chunk) — log2(chunk) full-width
+        pairwise maxima, every op lane-contiguous. Any fixed partition keeps
+        the top-k superset argument; phase 2 just maps chunk->rows to match.
     """
     i = pl.program_id(0)
+    q = q_ref[:, :]
+    c = c_ref[:, :]
+    if c.dtype == jnp.bfloat16:
+        q = q.astype(jnp.bfloat16)
     s = jnp.dot(
-        q_ref[:, :], c_ref[:, :], preferred_element_type=jnp.float32
-    )  # [B, M_T] in VMEM
+        q, c, preferred_element_type=jnp.float32,
+        precision=_PRECISIONS[precision],
+    )  # [B, M_T] f32 in VMEM
     m_t = s.shape[1]
     col0 = i * m_t
     cols = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(cols < m_real, s, -jnp.inf)
-    for j in range(m_t // chunk):
-        out_ref[:, j] = jnp.max(s[:, j * chunk : (j + 1) * chunk], axis=1)
+    if epilogue == "fold":
+        w = m_t
+        npt = m_t // chunk
+        while w > npt:
+            w //= 2
+            s = jnp.maximum(s[:, :w], s[:, w : 2 * w])
+        out_ref[:, :] = s
+    else:
+        for j in range(m_t // chunk):
+            out_ref[:, j] = jnp.max(s[:, j * chunk : (j + 1) * chunk], axis=1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "chunk", "m_tile", "m_real", "interpret"),
+    static_argnames=(
+        "k", "chunk", "m_tile", "m_real", "precision", "extra_chunks",
+        "epilogue", "interpret",
+    ),
 )
 def cosine_topk_fused(
     queries: jnp.ndarray,  # [B, D] f32 L2-normalized
-    corpus_t: jnp.ndarray,  # [D, M_pad] f32 transposed corpus (padded)
+    corpus_t: jnp.ndarray,  # [D, M_pad] transposed corpus (padded); f32/bf16
     k: int,
     chunk: int = 128,
     m_tile: int = 512,
     m_real: int = None,  # true (unpadded) corpus size
+    precision: str = None,  # in-kernel dot: None/"default"/"highest"
+    extra_chunks: int = 0,  # slack chunks kept past k (for low-precision dots)
+    epilogue: str = "loop",  # chunk-max shape: "loop" | "fold" (see kernel)
+    corpus_rows: jnp.ndarray = None,  # optional [M_pad, D] f32 rescore rows
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact dense top-k with the fused chunk-max kernel.
@@ -71,17 +115,36 @@ def cosine_topk_fused(
     ``m_tile`` multiple by the caller (``pad_corpus_t``); ``m_real`` is the
     true column count — pad columns are masked to -inf inside the kernel
     and in the rescore, so exactness holds even for negative cosines.
+
+    Exactness with a reduced-precision phase-1 dot (``precision`` below
+    "highest", or a bf16 ``corpus_t``): the top-k superset argument needs
+    the true top-k chunks to survive the *approximate* chunk-max ranking,
+    so keep ``extra_chunks`` slack (error must then beat the k-th-to-
+    (k+extra)-th chunk-max margin to break it); the phase-2 rescore is f32
+    HIGHEST over ``corpus_rows`` (required when ``corpus_t`` is bf16), so
+    returned scores are f32-exact whenever the superset holds.
     """
     B, d = queries.shape
     m = corpus_t.shape[1]
     if m_real is None:
         m_real = m
     assert m % m_tile == 0 and m_tile % chunk == 0, (m, m_tile, chunk)
+    if corpus_t.dtype == jnp.bfloat16:
+        assert corpus_rows is not None, "bf16 corpus_t needs f32 corpus_rows"
+    if epilogue == "fold":
+        npt = m_tile // chunk
+        assert chunk & (chunk - 1) == 0 and npt & (npt - 1) == 0, (
+            "fold epilogue needs power-of-two chunk and m_tile//chunk",
+            chunk, npt,
+        )
     kk = min(k, m_real)
     nc = m // chunk
 
     cmax = pl.pallas_call(
-        functools.partial(_cmax_kernel, chunk=chunk, m_real=m_real),
+        functools.partial(
+            _cmax_kernel, chunk=chunk, m_real=m_real, precision=precision,
+            epilogue=epilogue,
+        ),
         grid=(m // m_tile,),
         # raise the 16MB scoped-vmem default: the [B, m_tile] f32 score
         # tile is the working set (32MB at m_tile=8192, 64MB at 16384) and
@@ -102,11 +165,18 @@ def cosine_topk_fused(
         interpret=interpret,
     )(queries, corpus_t)
 
-    kc = min(kk, nc)
+    kc = min(kk + extra_chunks, nc)
     _, cidx = jax.lax.top_k(cmax, kc)  # [B, kc] winning chunks
-    flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    if epilogue == "fold":
+        # chunk g covers rows tile*m_tile + (g % npt) + npt*j, j in [0, chunk)
+        npt = m_tile // chunk
+        base = (cidx // npt) * m_tile + cidx % npt
+        flat = base[:, :, None] + npt * jnp.arange(chunk, dtype=jnp.int32)
+    else:
+        flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
     flat = flat.reshape(B, kc * chunk)  # [B, kc*chunk] global row ids
-    rows_sel = corpus_t.T[flat]  # [B, kc*chunk, D] gather
+    rows = corpus_rows if corpus_rows is not None else corpus_t.T
+    rows_sel = rows[flat]  # [B, kc*chunk, D] gather
     cand = jax.lax.dot_general(
         queries[:, None, :], rows_sel, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,

@@ -165,3 +165,47 @@ def test_cosine_topk_fused_matches_flat(data):
         assert set(np.asarray(i1)[b].tolist()) == set(
             np.asarray(i0)[b].tolist()
         )
+
+
+def test_cosine_topk_fused_fold_epilogue(data):
+    """Interleaved fold chunk partition == flat top-k (any fixed partition
+    of the columns keeps the chunk-max superset argument; phase 2 maps the
+    fold's mod-npt chunks back to rows)."""
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    Q, C = data
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    ct, m_real = pad_corpus_t(C, m_tile=128)  # M=200 -> pad 256, 2 tiles
+    for chunk in (16, 32):  # npt = 8 / 4, both power-of-two
+        s1, i1 = cosine_topk_fused(
+            jnp.asarray(Q), jnp.asarray(ct), k=5, chunk=chunk, m_tile=128,
+            m_real=m_real, epilogue="fold", interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+        for b in range(Q.shape[0]):
+            assert set(np.asarray(i1)[b].tolist()) == set(
+                np.asarray(i0)[b].tolist()
+            )
+
+
+def test_cosine_topk_fused_bf16_corpus_with_slack(data):
+    """bf16-stored corpus + extra_chunks slack + f32 rescore rows stays
+    exact (the reduced-precision phase-1 path, interpret on CPU)."""
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    Q, C = data
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    ct, m_real = pad_corpus_t(C, m_tile=100)
+    rows = jnp.asarray(np.ascontiguousarray(ct.T))  # [M_pad, D] f32
+    s1, i1 = cosine_topk_fused(
+        jnp.asarray(Q), jnp.asarray(ct).astype(jnp.bfloat16),
+        k=5, chunk=25, m_tile=100, m_real=m_real,
+        precision="default", extra_chunks=2, corpus_rows=rows, interpret=True,
+    )
+    # rescore is f32 HIGHEST over f32 rows -> scores exact when the
+    # superset holds (extra_chunks=2 gives bf16 chunk-maxima margin)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
