@@ -422,6 +422,7 @@ class TfidfRanker:
                 interpret=interpret,
                 precision=self.precision,
                 queries_sorted=True,
+                pools_sorted=True,  # C++ gather already sorted permuted pools
                 d_tile=self.d_tile,
             )
         light_docs, light_contribs, _ = gather_light_pools(

@@ -57,22 +57,66 @@ def _topk_wide(h: jnp.ndarray, kk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ts, jnp.take_along_axis(i2, tp, axis=1)
 
 
+_TWOPHASE_MIN = 131_072  # below this width XLA's flat TopK is already cheap
+_TWOPHASE_CHUNK = 32
+
+
+def _topk_twophase(
+    h: jnp.ndarray, kk: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over very wide rows: chunk-max reduce -> narrow top-k
+    over chunk maxima -> gather + re-top-k of the kk*chunk candidates — the
+    dense engine's trick (``dense/scorer.py::cosine_topk_twophase``) applied
+    to the already-materialized sparse score matrix. The flat TopK over
+    [1024, 1M] costs ~53ms/batch (docs/DESIGN.md stage table); this replaces
+    it with a minor-dim max reduce (one read of h) + a 32x narrower TopK.
+
+    NOT the ``_topk_wide`` negative above: that lowered a 3-D per-block
+    ``lax.top_k`` (4x WORSE than flat); this reduces with a plain max and
+    keeps every TopK narrow. Superset argument: the true top-kk live in at
+    most kk chunks, each with max >= the kk-th value. Index tie-breaks can
+    differ from flat TopK across equal scores (chunk rank orders the
+    candidate gather); scores are identical."""
+    B, n = h.shape
+    chunk = _TWOPHASE_CHUNK
+    if n % chunk or kk > n // chunk:
+        return jax.lax.top_k(h, kk)
+    nc = n // chunk
+    cmax = h.reshape(B, nc, chunk).max(axis=-1)
+    _, cidx = jax.lax.top_k(cmax, kk)  # [B, kk] winning chunks
+    flat = (
+        cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)
+    ).reshape(B, kk * chunk)
+    cand = jnp.take_along_axis(h, flat, axis=1)
+    s, si = jax.lax.top_k(cand, kk)
+    return s, jnp.take_along_axis(flat, si, axis=1)
+
+
 def _merge_light(
     h: jnp.ndarray,  # [B, N_pad] exact heavy scores
     light_docs: jnp.ndarray,  # [B, P] int32 (pads: any in-range id, contrib 0)
     light_contribs: jnp.ndarray,  # [B, P] f32
     k: int,
     num_real_docs: int,
+    pools_sorted: bool = False,  # pools already doc-ascending (host gather)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, P = light_docs.shape
     n_pad = h.shape[1]
     kk = min(k, n_pad)
-    h_s, h_i = jax.lax.top_k(h, kk)
+    if n_pad >= _TWOPHASE_MIN:
+        h_s, h_i = _topk_twophase(h, kk)
+    else:
+        h_s, h_i = jax.lax.top_k(h, kk)
 
     # ---- light segment totals (per-row sort by doc, run-end reduction) -----
-    order = jnp.argsort(light_docs, axis=1)
-    sd = jnp.take_along_axis(light_docs, order, axis=1)
-    sv = jnp.take_along_axis(light_contribs, order, axis=1)
+    # The C++ gather emits doc-ascending pools (sort_pools=True); skipping
+    # the [B, P] device argsort then saves a full XLA sort per batch.
+    if pools_sorted:
+        sd, sv = light_docs, light_contribs
+    else:
+        order = jnp.argsort(light_docs, axis=1)
+        sd = jnp.take_along_axis(light_docs, order, axis=1)
+        sv = jnp.take_along_axis(light_contribs, order, axis=1)
     csum = jnp.cumsum(sv, axis=1)
     nxt = jnp.concatenate([sd[:, 1:], jnp.full_like(sd[:, :1], -1)], axis=1)
     is_end = sd != nxt
@@ -187,7 +231,7 @@ def _heavy_scores(
     jax.jit,
     static_argnames=(
         "k", "num_real_docs", "interpret", "precision", "queries_sorted",
-        "d_tile", "slab_impl",
+        "pools_sorted", "d_tile", "slab_impl",
     ),
 )
 def hybrid_topk(
@@ -203,6 +247,7 @@ def hybrid_topk(
     interpret: bool = False,
     precision: str = "highest",  # see _PREC
     queries_sorted: bool = False,
+    pools_sorted: bool = False,  # light pools pre-sorted by doc on host
     d_tile: int = 256,  # doc-axis slab tile; 512 wins past ~1M docs
     slab_impl: str = "pallas",  # "xla": non-Pallas slab (CPU-mesh scale)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -211,7 +256,10 @@ def hybrid_topk(
         u_sorted, heavy_terms_t, heavy_vals_t, qb_t, qw_t, interpret, prec,
         light_docs.shape[0], queries_sorted, d_tile, slab_impl,
     )
-    return _merge_light(h, light_docs, light_contribs, k, num_real_docs)
+    return _merge_light(
+        h, light_docs, light_contribs, k, num_real_docs,
+        pools_sorted=pools_sorted,
+    )
 
 
 @functools.partial(
@@ -293,7 +341,10 @@ def hybrid_topk_bucketed_fused(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "interpret", "precision", "queries_sorted", "d_tile"),
+    static_argnames=(
+        "k", "interpret", "precision", "queries_sorted", "pools_sorted",
+        "d_tile",
+    ),
 )
 def hybrid_topk_bucketed(
     terms_a: jnp.ndarray,  # [K_a, Na_pad] narrow-doc bucket (k-major)
@@ -309,6 +360,7 @@ def hybrid_topk_bucketed(
     interpret: bool = False,
     precision: str = "highest",
     queries_sorted: bool = False,
+    pools_sorted: bool = False,  # pools doc-ascending in PERMUTED space
     d_tile: int = 256,  # doc-axis slab tile; 512 cuts slab time ~25% at 1M
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Width-bucketed heavy slab: docs sorted by heavy width and split into a
@@ -336,4 +388,7 @@ def hybrid_topk_bucketed(
     )[: light_docs.shape[0]]
     # positional real-mask is meaningless in permuted space; zero-score
     # filtering inside _merge_light handles pads.
-    return _merge_light(h, light_docs, light_contribs, k, h.shape[1])
+    return _merge_light(
+        h, light_docs, light_contribs, k, h.shape[1],
+        pools_sorted=pools_sorted,
+    )

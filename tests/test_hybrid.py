@@ -311,6 +311,68 @@ def test_topk_wide_blocked_matches_flat():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
 
 
+def test_topk_twophase_matches_flat():
+    """Chunk-max two-phase top-k == flat top-k on scores (indices may
+    tie-break differently; with distinct scores they match exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops import hybrid as hy
+
+    rng = np.random.default_rng(7)
+    # distinct scores -> indices must match too
+    h = rng.permutation(3200 * 7).reshape(7, 3200).astype(np.float32)
+    ref_s, ref_i = jax.lax.top_k(jnp.asarray(h), 5)
+    got_s, got_i = hy._topk_twophase(jnp.asarray(h), 5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    # tied scores: top-k SET of scores still exact
+    ht = rng.integers(0, 40, size=(5, 640)).astype(np.float32)
+    ref_s2, _ = jax.lax.top_k(jnp.asarray(ht), 5)
+    got_s2, got_i2 = hy._topk_twophase(jnp.asarray(ht), 5)
+    np.testing.assert_allclose(np.asarray(got_s2), np.asarray(ref_s2))
+    # returned indices score what they claim
+    for b in range(5):
+        for r in range(5):
+            assert ht[b, int(np.asarray(got_i2)[b, r])] == np.asarray(got_s2)[b, r]
+    # width not a chunk multiple falls back to flat
+    ho = rng.normal(size=(3, 3001)).astype(np.float32)
+    fs, fi = hy._topk_twophase(jnp.asarray(ho), 4)
+    rs, ri = jax.lax.top_k(jnp.asarray(ho), 4)
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(rs))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+
+
+def test_merge_light_twophase_path_matches_scipy_reference():
+    """_merge_light with the two-phase heavy top-k forced on == the flat
+    path (scores exact; doc sets equal under distinct scores)."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops import hybrid as hy
+
+    rng = np.random.default_rng(11)
+    B, N, P, k = 6, 1024, 16, 5
+    h = np.abs(rng.normal(size=(B, N))).astype(np.float32)
+    docs = rng.integers(0, N, size=(B, P)).astype(np.int32)
+    contribs = np.abs(rng.normal(size=(B, P))).astype(np.float32)
+    ref = hy._merge_light(
+        jnp.asarray(h), jnp.asarray(docs), jnp.asarray(contribs), k, N
+    )
+    saved = hy._TWOPHASE_MIN
+    try:
+        hy._TWOPHASE_MIN = 1  # force two-phase at this width
+        got = hy._merge_light(
+            jnp.asarray(h), jnp.asarray(docs), jnp.asarray(contribs), k, N
+        )
+    finally:
+        hy._TWOPHASE_MIN = saved
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6)
+    for b in range(B):
+        assert set(np.asarray(got[1])[b].tolist()) == set(
+            np.asarray(ref[1])[b].tolist()
+        )
+
+
 def test_d_tile_512_matches_default():
     """d_tile is a pure performance knob: staged hybrid results are identical
     at d_tile=512 and 256, including when the width-bucket cut is live.
