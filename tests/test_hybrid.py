@@ -286,6 +286,22 @@ def test_engine_gate_boundaries(setup):
         check(TfidfRanker(index, df_threshold=8, width_buckets=2))
         TfidfRanker.FUSED_LIGHT_MAX_DOCS = n - 1  # staged bucketed engine
         check(TfidfRanker(index, df_threshold=8, width_buckets=2))
+
+        # -- staged bucketed engine with the two-phase heavy top-k forced on
+        # (the 1M serving combination: two-phase + pools_sorted + bucket
+        # permutation) — exact scores per returned doc id vs scipy.
+        from ircl_tpu.ops import hybrid as hy
+
+        saved_tp = hy._TWOPHASE_MIN
+        try:
+            hy._TWOPHASE_MIN = 1
+            # the global is read at TRACE time: drop any cached executable
+            # compiled with the flat top-k so the forced value takes effect
+            hy.hybrid_topk_bucketed.clear_cache()
+            check(TfidfRanker(index, df_threshold=8, width_buckets=2))
+        finally:
+            hy._TWOPHASE_MIN = saved_tp
+            hy.hybrid_topk_bucketed.clear_cache()
     finally:
         TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
 
