@@ -9,14 +9,32 @@ single-chip slice). Prints one JSON line; the primary judged bench is
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+def _topk_ref_blocked(queries, corpus, k, block=125_000):
+    """Exact numpy f32 top-k over the full query batch, corpus-blocked so
+    the score matrix transient stays ~0.5GB. Returns (sorted scores [B,k],
+    list of B id sets)."""
+    B = queries.shape[0]
+    m = corpus.shape[0]
+    best_s = np.full((B, k), -np.inf, np.float32)
+    best_i = np.full((B, k), -1, np.int64)
+    for lo in range(0, m, block):
+        s = queries @ corpus[lo : lo + block].T  # [B, <=block]
+        part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        ps = np.take_along_axis(s, part, axis=1)
+        cat_s = np.concatenate([best_s, ps], axis=1)
+        cat_i = np.concatenate([best_i, part + lo], axis=1)
+        sel = np.argpartition(-cat_s, k - 1, axis=1)[:, :k]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+    order = np.argsort(-best_s, axis=1, kind="stable")
+    best_s = np.take_along_axis(best_s, order, axis=1)
+    best_i = np.take_along_axis(best_i, order, axis=1)
+    return best_s, [set(row.tolist()) for row in best_i]
 
 
 def main():
@@ -30,6 +48,7 @@ def main():
         cosine_topk_scan,
         cosine_topk_twophase,
     )
+    from ircl_tpu.utils.benchtime import log, steady as _steady
 
     M, D, B, K = 1_000_000, 128, 1024, 5
     rng = np.random.default_rng(0)
@@ -56,14 +75,7 @@ def main():
     log("parity ok")
 
     def steady(fn, label, reps=20):
-        t0 = time.time()
-        outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs)
-        _ = np.asarray(outs[-1][0][:1])  # real transfer (axon timing rule)
-        dt = time.time() - t0
-        qps = reps * B / dt
-        log(f"{label}: {qps:.0f} q/s over {M} docs ({dt/reps*1000:.1f} ms/batch)")
-        return qps
+        return _steady(fn, label, batch=B, reps=reps)
 
     qps_flat = steady(lambda: cosine_topk(q_d, corpus_d, k=K), "flat topk")
 
@@ -88,11 +100,7 @@ def main():
         ),
         "two-phase f32-exact",
     )
-    warm = cosine_topk_twophase(
-        q_d, corpus_d, k=K, chunk=128, precision="default"
-    )
-    jax.block_until_ready(warm)  # compile outside the timed loop
-    qps_two_fast = steady(
+    qps_two_fast = steady(  # compile absorbed by steady()'s warm-up calls
         lambda: cosine_topk_twophase(
             q_d, corpus_d, k=K, chunk=128, precision="default"
         ),
@@ -120,32 +128,94 @@ def main():
     # fused Pallas phase-1 (dot + chunk-max epilogue in VMEM; scores never
     # reach HBM). fold epilogue = interleaved chunk partition reduced by
     # log2(chunk) full-width pairwise maxima instead of m_tile/chunk small
-    # strided reductions — 3-4x the loop epilogue in-session; 8192/32 is the
-    # measured plateau (scripts/probe_dense_tiles.py: chunk 32 ~118-125K,
-    # chunk 64 ~102K, 16384/32 within noise). First compile ~10 min through
-    # the remote compile service; cached persistently afterwards.
+    # strided reductions; 8192/32 is the measured plateau
+    # (scripts/probe_dense_tiles.py). precision="high3" = manual in-kernel
+    # bf16_3x (~1e-6): the default None dot is bf16 1-pass (~1.6e-2) and
+    # MEASURABLY drops true top-5 docs on this corpus (985/1024 full-batch
+    # parity at 124K q/s — timed below for the record, never headline);
+    # high3 measures 1024/1024 at 92K (docs/DESIGN.md). First compile
+    # ~minutes through the remote compile service; cached persistently.
     from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
 
     ct, m_real = pad_corpus_t(corpus, m_tile=8192)
     ct_d = jax.device_put(ct)
     s4, i4 = cosine_topk_fused(
-        q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real, epilogue="fold"
+        q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real,
+        epilogue="fold", precision="high3",
     )
     s4, i4 = np.asarray(s4), np.asarray(i4)
     for b in range(n_chk):
         order = np.argsort(-ref_chk[b], kind="stable")[:K]
         np.testing.assert_allclose(s4[b], ref_chk[b][order], rtol=1e-5)
         assert set(i4[b].tolist()) == set(order.tolist()), b
-    log(f"fused(pallas) exact vs numpy f32 on {n_chk} queries")
+    log(f"fused(pallas, high3) exact vs numpy f32 on {n_chk} queries")
     qps_fused = steady(
         lambda: cosine_topk_fused(
             q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real,
-            epilogue="fold",
+            epilogue="fold", precision="high3",
         ),
-        "fused pallas f32-exact (fold)",
+        "fused pallas bf16_3x (fold/high3)",
+    )
+    steady(  # informational only: bf16-1-pass selection, NOT exact here
+        lambda: cosine_topk_fused(
+            q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real,
+            epilogue="fold", precision=None,
+        ),
+        "fused fold/None (inexact on this corpus; informational)",
     )
 
-    qps = max(qps_flat, qps_two, qps_two_fast, qps_scan, qps_fused)
+    # Headline = fastest engine whose results are VERIFIED exact vs numpy
+    # f32 on the FULL batch below, every run. qps_flat and qps_two_fast run
+    # the default-precision (bf16-input) dot and only track numpy to ~5e-3
+    # — never headline candidates. The fused/high3 selection error is
+    # ~1e-6-class (measured 1024/1024 here), but exactness is still gated
+    # per-run rather than assumed.
+    candidates = [
+        (qps_fused, "fused_fold_high3", lambda: cosine_topk_fused(
+            q_d, ct_d, k=K, chunk=32, m_tile=8192, m_real=m_real,
+            epilogue="fold", precision="high3")),
+        (qps_two, "twophase_highest", lambda: cosine_topk_twophase(
+            q_d, corpus_d, k=K, chunk=128, precision="highest")),
+        (qps_scan, "scan_highest", lambda: cosine_topk_scan(
+            q_d, corpus_d, k=K, chunk=64, block=200_000,
+            precision="highest")),
+    ]
+    candidates.sort(key=lambda c: -c[0])
+    t0 = time.time()
+    # The corpus/queries are seed-deterministic, so the exact reference is
+    # cacheable across runs (~5 min of single-core BLAS otherwise).
+    cache_path = f"/tmp/ircl_dense_ref_{M}x{D}_B{B}_K{K}_seed0.npz"
+    try:
+        z = np.load(cache_path)
+        ref_s, ref_i = z["s"], z["i"]
+        log(f"full-batch numpy reference loaded from {cache_path}")
+    except Exception:
+        ref_s, ref_sets_list = _topk_ref_blocked(queries, corpus, K)
+        ref_i = np.array(
+            [sorted(s) for s in ref_sets_list], dtype=np.int64
+        )
+        np.savez(cache_path, s=ref_s, i=ref_i)
+        log(f"full-batch numpy reference in {time.time()-t0:.1f}s")
+    ref_sets = [set(row.tolist()) for row in ref_i]
+    qps = name = None
+    for c_qps, c_name, fn in candidates:
+        sw, iw = (np.asarray(a) for a in fn())
+        bad_s = bad_i = 0
+        for b in range(B):
+            bad_s += not np.allclose(sw[b], ref_s[b], rtol=1e-5)
+            bad_i += set(iw[b].tolist()) != ref_sets[b]
+        # Gate on the sorted top-5 SCORES (id-set diffs with matching
+        # scores are f32-resolution ties — counted, not failed).
+        log(
+            f"{c_name}: FULL-batch score parity {B - bad_s}/{B}"
+            f" (id-set tie swaps: {bad_i})"
+        )
+        if bad_s == 0:
+            qps, name = c_qps, c_name
+            break
+        log(f"{c_name} failed full-batch exactness — falling back")
+    assert qps is not None, "no dense engine passed full-batch exactness"
+    log(f"headline engine: {name}")
     print(
         json.dumps(
             {

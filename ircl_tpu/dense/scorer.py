@@ -128,7 +128,7 @@ _DENSE_PREC = {
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "chunk", "block", "precision")
+    jax.jit, static_argnames=("k", "chunk", "block", "precision", "extra_chunks")
 )
 def cosine_topk_scan(
     queries: jnp.ndarray,  # [B, D] L2-normalized
@@ -137,6 +137,7 @@ def cosine_topk_scan(
     chunk: int = 128,
     block: int = 62_500 * 16,  # corpus rows per scan step
     precision: str = "highest",
+    extra_chunks: int = 0,  # slack chunks kept past k (near-tie margin)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-phase top-k with a SCANNED phase 1: the [B, M] score matrix is
     never materialized — each scan step computes one corpus block's scores
@@ -145,11 +146,16 @@ def cosine_topk_scan(
     gathers the k winning chunks' CORPUS ROWS and rescores them (same
     precision, [B, k*chunk] candidate matrix).
 
-    Same selection guarantee as ``cosine_topk_twophase``; phase-1 and
-    phase-2 scores for the same (query, row) pair are both D-length dots at
-    the given precision, so consistency holds to reassociation ulps (exact
-    index agreement verified empirically in bench_dense across the 1M
-    corpus)."""
+    Selection contract — WEAKER than ``cosine_topk_twophase``, which gathers
+    candidates from the same materialized H it ranked chunks by (exact by
+    construction): here phase-1 ([B,D]x[D,block]) and phase-2 (batched
+    [B,1,D]x[B,kc*chunk,D]) are different dot lowerings of the same D-length
+    contraction, so chunk selection is exact only if the two agree on every
+    near-tie (reassociation-ulp level; index agreement is verified
+    empirically in bench_dense on the 1M corpus each run). ``extra_chunks``
+    adds margin — a miss then needs 1+extra chunk maxima within lowering
+    ulps of the true chunk's. Callers needing a hard exactness guarantee
+    should use ``cosine_topk_twophase``, which never recomputes."""
     B = queries.shape[0]
     m, d = corpus.shape
     kk = min(k, m)
@@ -167,7 +173,7 @@ def cosine_topk_scan(
 
     _, cm = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
     cmax = jnp.moveaxis(cm, 0, 1).reshape(B, m // chunk)
-    kc = min(kk, m // chunk)  # can't select more chunks than exist
+    kc = min(kk + extra_chunks, m // chunk)  # can't select more than exist
     _, cidx = jax.lax.top_k(cmax, kc)  # [B, kc]
 
     flat = cidx[:, :, None] * chunk + jnp.arange(chunk, dtype=jnp.int32)

@@ -52,7 +52,10 @@ NS_LIGHT = 230.0  # ns per padded light pool entry (gather+transfer+merge)
 DEFAULT_CANDIDATES = (16, 32, 64, 128, 256, 512, 1024)
 
 
-def _pow2(n: int, floor: int) -> int:
+def _pow2(n: int, floor: int = 16) -> int:
+    """Next power-of-two bucket >= n, starting from ``floor``. The canonical
+    implementation shared with ``TfidfRanker._pow2`` — the cost model below
+    must mirror the engine's padding exactly, so there is only one copy."""
     c = floor
     while c < n:
         c *= 2
@@ -132,22 +135,27 @@ def auto_df_threshold(
     # arange or gather), each posting is binned by its df against the
     # candidate ladder, and a single [N, n_bins] histogram + suffix-sum
     # yields the per-doc heavy width at every threshold. Peak transient is
-    # the flattened int64 histogram key (~8 bytes/posting).
+    # the in-place-built int64 histogram key + the int8 bins (~9
+    # bytes/posting; df_post is freed before the key is built) — ~4GB at
+    # the 447M-posting full-wiki scale on the single-core host.
     df_post = np.repeat(
         df.astype(np.int32), np.diff(index.indptr).astype(np.int64)
     )
     bins = np.searchsorted(
         np.asarray(candidates, np.int32), df_post, side="left"
     ).astype(np.int8)  # bin b: candidates[b-1] < df <= candidates[b]
+    del df_post
     n_bins = len(candidates) + 1
-    hist = np.bincount(
-        index.post_docs.astype(np.int64) * n_bins + bins,
-        minlength=n * n_bins,
-    ).reshape(n, n_bins)
+    key = index.post_docs.astype(np.int64)
+    key *= n_bins  # in-place: no extra 8B/posting temporary
+    key += bins
+    del bins
+    hist = np.bincount(key, minlength=n * n_bins).reshape(n, n_bins)
+    del key
     # widths at threshold candidates[i] = postings with df > candidates[i]
     # = bins strictly greater than i (side="left": df == cand -> bin i)
     widths_at = np.cumsum(hist[:, ::-1], axis=1)[:, ::-1]  # suffix sums
-    del df_post, bins, hist
+    del hist
     if query_sample is None:
         qb, qw = synthesize_query_sample(
             df, batch, max_terms=max_terms, model=query_model

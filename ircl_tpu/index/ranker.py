@@ -168,6 +168,10 @@ class TfidfRanker:
         fixed_max_terms: Optional[int] = None,
         df_threshold="auto",  # int, or "auto": cost-model argmin from the
         #   df histogram + a synthesized query sample (index/autotune.py)
+        autotune_profile: Optional[dict] = None,  # extra kwargs for
+        #   auto_df_threshold (batch, query_sample, query_model, rates...) —
+        #   pass the serving profile so the cost model is evaluated at the
+        #   real batch size / query mix, not the default 1024 "occupied"
         precision: str = "highest",  # "default": bf16 scores matmul (ranking
         #                               holds; scores drift ~0.2% rel)
         width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
@@ -213,9 +217,9 @@ class TfidfRanker:
             if df_threshold == "auto":
                 from ircl_tpu.index.autotune import auto_df_threshold
 
-                df_threshold = auto_df_threshold(
-                    index, max_terms=fixed_max_terms or 24
-                )
+                kw = dict(max_terms=fixed_max_terms or 24)
+                kw.update(autotune_profile or {})
+                df_threshold = auto_df_threshold(index, **kw)
             self.df_threshold = df_threshold
             self._split = split_index(index, df_threshold=df_threshold)
             put = lambda x: jax.device_put(x, device)
@@ -284,10 +288,11 @@ class TfidfRanker:
 
     @staticmethod
     def _pow2(n: int, floor: int = 16) -> int:
-        c = floor
-        while c < n:
-            c *= 2
-        return c
+        # Canonical implementation lives in index/autotune.py — the cost
+        # model's u_pad/p_pad must mirror this bucketing exactly.
+        from ircl_tpu.index.autotune import _pow2
+
+        return _pow2(n, floor)
 
     def _union_slots(
         self, buckets: np.ndarray, weights: np.ndarray, floor: int = 16

@@ -21,7 +21,20 @@ epilogue exploits: chunk j = columns ≡ j (mod m_tile/chunk), reducible by
 log2(chunk) full-width lane-contiguous pairwise maxima instead of
 m_tile/chunk small strided reductions (measured 3-4x the loop epilogue;
 the kernel is epilogue-bound, not dot-bound). The phase-2 rescore is f32
-HIGHEST, so returned scores are f32-exact.
+HIGHEST, so returned SCORES are f32-exact for the selected docs; the
+SELECTION is as good as the phase-1 chunk maxima, whose precision is set
+by the in-kernel dot — see ``cosine_topk_fused``'s contract below.
+
+Measured in-kernel dot precision on v5e (chunk=1 probe vs numpy f64,
+round 3): ``precision=None`` == XLA DEFAULT == bf16-input 1-pass (mean rel
+err ~1.6e-2 on unit-normal data); ``"highest"`` is accepted by Mosaic and
+f32-faithful (mean ~2.8e-7); ``"high"`` (bf16_3x) is REJECTED by Mosaic —
+``"high3"`` emulates it manually (hi/lo bf16 splits, three 1-pass dots,
+~1e-5 abs err on unit cosines). Throughput at [1024,128]x[128,1M],
+fold/8192/32, same session, with FULL-1024-batch parity vs numpy f32:
+None 124.1K q/s (985/1024 — measurably INEXACT on the bench corpus),
+high3 92.2K (1024/1024), None+extra_chunks=8 82K, highest 63.8K
+(1024/1024). ``high3`` is the bench's verified-exact headline config.
 """
 
 from __future__ import annotations
@@ -68,10 +81,24 @@ def _cmax_kernel(
     c = c_ref[:, :]
     if c.dtype == jnp.bfloat16:
         q = q.astype(jnp.bfloat16)
-    s = jnp.dot(
-        q, c, preferred_element_type=jnp.float32,
-        precision=_PRECISIONS[precision],
-    )  # [B, M_T] f32 in VMEM
+    if precision == "high3" and c.dtype != jnp.bfloat16:
+        # Manual bf16_3x: Mosaic rejects Precision.HIGH on the in-kernel
+        # dot, but the same ~1e-6-accurate product is three 1-pass bf16
+        # MXU dots over hi/lo splits (lo*lo dropped, ~2^-18 rel — exactly
+        # XLA HIGH's decomposition), each accumulated in f32.
+        q_hi = q.astype(jnp.bfloat16)
+        c_hi = c.astype(jnp.bfloat16)
+        q_lo = (q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        c_lo = (c - c_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = functools.partial(
+            jnp.dot, preferred_element_type=jnp.float32
+        )
+        s = dot(q_hi, c_hi) + (dot(q_lo, c_hi) + dot(q_hi, c_lo))
+    else:
+        s = jnp.dot(
+            q, c, preferred_element_type=jnp.float32,
+            precision=_PRECISIONS[precision if precision != "high3" else None],
+        )  # [B, M_T] f32 in VMEM
     m_t = s.shape[1]
     col0 = i * m_t
     cols = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -102,27 +129,38 @@ def cosine_topk_fused(
     chunk: int = 128,
     m_tile: int = 512,
     m_real: int = None,  # true (unpadded) corpus size
-    precision: str = None,  # in-kernel dot: None/"default"/"highest"
+    precision: str = "high3",  # in-kernel dot. Default "high3" = manual
+    #   bf16_3x (Mosaic rejects HIGH) — ~1e-5-accurate selection, 92K q/s
+    #   at 1M. None/"default" = bf16 1-pass fast mode (124K) whose chunk
+    #   selection MEASURABLY misses top-5 docs on near-tie margins —
+    #   opt-in only, verify on your corpus. "highest" = f32-faithful, 64K.
     extra_chunks: int = 0,  # slack chunks kept past k (for low-precision dots)
     epilogue: str = "loop",  # chunk-max shape: "loop" | "fold" (see kernel)
     corpus_rows: jnp.ndarray = None,  # optional [M_pad, D] f32 rescore rows
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact dense top-k with the fused chunk-max kernel.
+    """Dense top-k with the fused chunk-max kernel.
 
     ``corpus_t`` is the [D, M] transpose (prepare once at corpus build; a
     [M, D] layout would put the contraction on lanes), zero-padded to an
     ``m_tile`` multiple by the caller (``pad_corpus_t``); ``m_real`` is the
     true column count — pad columns are masked to -inf inside the kernel
-    and in the rescore, so exactness holds even for negative cosines.
+    and in the rescore, so correctness holds even for negative cosines.
 
-    Exactness with a reduced-precision phase-1 dot (``precision`` below
-    "highest", or a bf16 ``corpus_t``): the top-k superset argument needs
-    the true top-k chunks to survive the *approximate* chunk-max ranking,
-    so keep ``extra_chunks`` slack (error must then beat the k-th-to-
-    (k+extra)-th chunk-max margin to break it); the phase-2 rescore is f32
-    HIGHEST over ``corpus_rows`` (required when ``corpus_t`` is bf16), so
-    returned scores are f32-exact whenever the superset holds.
+    Exactness contract (see module docstring for the measured numbers):
+    the top-k superset argument needs the true top-k chunks to survive the
+    phase-1 chunk-max ranking, which is only as accurate as the in-kernel
+    dot. The DEFAULT ``"high3"`` (manual bf16_3x) keeps selection
+    ~1e-5-accurate — full-batch-exact on the 1M bench corpus;
+    ``"highest"`` is f32-faithful (~1e-7). ``None``/``"default"`` is the
+    bf16-1-pass fast path (~35% faster end-to-end) whose selection
+    MEASURABLY misses top-5 docs on near-tie margins (39/1024 bench
+    queries) — opt-in only: verify on your corpus (``bench_dense.py``
+    gates its headline on full-batch numpy parity every run) or keep
+    ``extra_chunks`` slack (error must then beat the k-th-to-(k+extra)-th
+    chunk-max margin). The phase-2 rescore is f32 HIGHEST over
+    ``corpus_rows`` (required when ``corpus_t`` is bf16), so returned
+    scores are f32-exact whenever the superset holds.
     """
     B, d = queries.shape
     m = corpus_t.shape[1]

@@ -1,18 +1,23 @@
-"""Probe: fused dense top-k kernel precision ladder at 1M x 128, B=1024.
+"""Probe: fused dense top-k kernel epilogue/precision at 1M x 128, B=1024.
 
 The round-3 fused kernel (82.9K q/s) runs its in-kernel dot at Mosaic's
-default f32 handling; per-cell time (~101us) decomposes as ~64us multi-pass
-f32 MXU dot + ~30us chunk-max epilogue, so precision — not HBM or the MXU
-roofline — is the binding constraint. This probe measures:
+default precision — later measured (chunk=1 probe, see
+ops/dense_topk_pallas.py docstring) to be the bf16-input 1-pass, NOT a
+multi-pass f32 dot as this probe originally assumed. Variants measured
+(chunk=64; the production config later moved to chunk=32 via
+probe_dense_tiles.py):
 
-  A  precision=None       (round-3 baseline, reproduces 82.9K)
-  B  precision="high"     bf16_3x dot (~1e-6 rel err, sparse engine's trick)
-  C  precision="default"  1-pass bf16 dot + extra_chunks slack
-  D  bf16-stored corpus   halves the HBM read too + f32 rescore rows
+  A  loop epilogue, f32 corpus      (round-3 baseline)
+  E  fold epilogue, f32 corpus      (interleaved chunk partition, log2(chunk)
+                                     full-width pairwise maxima — the winner)
+  F  fold, bf16-stored corpus + extra_chunks=8 slack + f32 rescore rows
+  D  loop, bf16-stored corpus + extra_chunks=8 slack + f32 rescore rows
 
-Each variant's top-k is checked against numpy f32 on 64 queries (scores
-rtol 1e-5 AND exact index-set agreement — the rescore is f32 HIGHEST, so
-any superset miss shows up as an index mismatch).
+``precision="high"`` (bf16_3x, the sparse engine's trick) is NOT probed:
+Mosaic rejects Precision.HIGH on the in-kernel dot (CLAUDE.md). Each
+variant's top-k is checked against numpy f32 on 64 queries (scores rtol
+1e-5 AND exact index-set agreement — the rescore is f32 HIGHEST, so any
+superset miss shows up as an index mismatch).
 """
 
 from __future__ import annotations
@@ -26,10 +31,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -38,6 +39,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+    from ircl_tpu.utils.benchtime import check_topk, log, steady as _steady
 
     M, D, B, K = 1_000_000, 128, 1024, 5
     rng = np.random.default_rng(0)
@@ -57,25 +59,10 @@ def main():
     ref = queries[:n_chk] @ corpus.T
 
     def check(s, i, label):
-        s, i = np.asarray(s), np.asarray(i)
-        bad = 0
-        for b in range(n_chk):
-            order = np.argsort(-ref[b], kind="stable")[:K]
-            ok_s = np.allclose(s[b], ref[b][order], rtol=1e-5)
-            ok_i = set(i[b].tolist()) == set(order.tolist())
-            bad += not (ok_s and ok_i)
-        log(f"{label}: parity {n_chk - bad}/{n_chk}")
-        return bad == 0
+        return check_topk(s, i, ref, K, label)
 
     def steady(fn, label, reps=20):
-        t0 = time.time()
-        outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs)
-        _ = np.asarray(outs[-1][0][:1])
-        dt = time.time() - t0
-        qps = reps * B / dt
-        log(f"{label}: {qps:.0f} q/s ({dt/reps*1000:.2f} ms/batch)")
-        return qps
+        return _steady(fn, label, batch=B, reps=reps)
 
     variants = [
         ("A loop/f32", dict(precision=None, extra_chunks=0), ct_d, None),

@@ -17,10 +17,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
 def main():
     import jax
 
@@ -28,6 +24,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+    from ircl_tpu.utils.benchtime import check_topk, log, steady as _steady
 
     M, D, B, K = 1_000_000, 128, 1024, 5
     rng = np.random.default_rng(0)
@@ -41,26 +38,10 @@ def main():
     ref = queries[:n_chk] @ corpus.T
 
     def check(s, i, label):
-        s, i = np.asarray(s), np.asarray(i)
-        bad = 0
-        for b in range(n_chk):
-            order = np.argsort(-ref[b], kind="stable")[:K]
-            ok = np.allclose(s[b], ref[b][order], rtol=1e-5) and set(
-                i[b].tolist()
-            ) == set(order.tolist())
-            bad += not ok
-        log(f"{label}: parity {n_chk - bad}/{n_chk}")
-        return bad == 0
+        return check_topk(s, i, ref, K, label)
 
     def steady(fn, label, reps=20):
-        t0 = time.time()
-        outs = [fn() for _ in range(reps)]
-        jax.block_until_ready(outs)
-        _ = np.asarray(outs[-1][0][:1])
-        dt = time.time() - t0
-        qps = reps * B / dt
-        log(f"{label}: {qps:.0f} q/s ({dt/reps*1000:.2f} ms/batch)")
-        return qps
+        return _steady(fn, label, batch=B, reps=reps)
 
     # First entry is a throwaway warm-up: the first steady() in a fresh
     # process absorbs lazy uploads / allocator warm-up and reads ~3x slow
@@ -77,9 +58,11 @@ def main():
         ct_d, m_real = cache[m_tile]
         label = f"fold {m_tile}/{chunk}"
         t0 = time.time()
+        # precision=None explicitly: this sweep's recorded numbers are the
+        # bf16-1-pass fast mode (the kernel default is now "high3")
         s, i = cosine_topk_fused(
             q_d, ct_d, k=K, chunk=chunk, m_tile=m_tile, m_real=m_real,
-            epilogue="fold",
+            epilogue="fold", precision=None,
         )
         jax.block_until_ready((s, i))
         log(f"{label}: first call {time.time()-t0:.1f}s")
@@ -88,7 +71,7 @@ def main():
             lambda ct_d=ct_d, m_real=m_real, m_tile=m_tile, chunk=chunk:
             cosine_topk_fused(
                 q_d, ct_d, k=K, chunk=chunk, m_tile=m_tile, m_real=m_real,
-                epilogue="fold",
+                epilogue="fold", precision=None,
             ),
             label,
         )

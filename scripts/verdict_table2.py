@@ -265,10 +265,13 @@ def main():
         )
         history = history + hist
     res["train_s"] = round(time.time() - t0, 1)
-    # with keep_best the evaluated params are the last phase's BEST epoch,
-    # so report that val F1 (the last epoch's would mislabel the table)
-    res["final_val_macro_f1"] = max(
-        (h["val_macro_f1"] or 0.0) for h in hist
+    # Report the val F1 of the params actually evaluated: with keep_best
+    # the last phase returns its BEST epoch's params (max over its history);
+    # without it (e.g. --train-distractors 0) they are the LAST epoch's.
+    res["final_val_macro_f1"] = (
+        max((h["val_macro_f1"] or 0.0) for h in hist)
+        if keep_best
+        else (hist[-1]["val_macro_f1"] or 0.0)
     )
     log_hist = [
         (h["epoch"], round(h["train_loss"], 4), round(h["val_macro_f1"] or 0, 3))

@@ -127,6 +127,28 @@ def test_cosine_topk_scan_matches_flat(data):
         )
 
 
+def test_cosine_topk_scan_extra_chunks_matches_flat(data):
+    """extra_chunks slack only widens the candidate set — results stay
+    exact (near-tie margin knob, review finding round 3)."""
+    from ircl_tpu.dense.scorer import cosine_topk_scan
+
+    Q, C = data
+    m = C.shape[0]
+    block, chunk = 50, 10
+    mm = m // block * block
+    Cb = C[:mm]
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(Cb), k=5)
+    s1, i1 = cosine_topk_scan(
+        jnp.asarray(Q), jnp.asarray(Cb), k=5, chunk=chunk, block=block,
+        extra_chunks=3,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
+
+
 def test_cosine_topk_twophase_small_corpus_k_exceeds_chunks():
     """k > number of chunks (M < k*chunk at default chunk): must not crash
     and must stay exact (review finding, round 3)."""
@@ -186,6 +208,26 @@ def test_cosine_topk_fused_fold_epilogue(data):
             assert set(np.asarray(i1)[b].tolist()) == set(
                 np.asarray(i0)[b].tolist()
             )
+
+
+def test_cosine_topk_fused_high3_matches_flat(data):
+    """precision="high3" (manual in-kernel bf16_3x hi/lo split — Mosaic
+    rejects Precision.HIGH) stays exact on well-separated data and matches
+    the flat reference (interpret on CPU)."""
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    Q, C = data
+    s0, i0 = cosine_topk(jnp.asarray(Q), jnp.asarray(C), k=5)
+    ct, m_real = pad_corpus_t(C, m_tile=128)
+    s1, i1 = cosine_topk_fused(
+        jnp.asarray(Q), jnp.asarray(ct), k=5, chunk=16, m_tile=128,
+        m_real=m_real, epilogue="fold", precision="high3", interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    for b in range(Q.shape[0]):
+        assert set(np.asarray(i1)[b].tolist()) == set(
+            np.asarray(i0)[b].tolist()
+        )
 
 
 def test_cosine_topk_fused_bf16_corpus_with_slack(data):
