@@ -110,11 +110,19 @@ def main():
     results = ranker.closest_docs_batch(claims, k=K)
     log(f"tpu first batch (compile) in {time.time()-t0:.1f}s")
 
-    # parity check vs CPU baseline on the subset (scores equal up to fp)
+    # parity check vs CPU baseline on the FULL batch (scores equal up to
+    # fp) — the timed subset's refs are reused, the rest computed untimed
+    # (~3s; a subset gate can pass by margin luck, as the dense bench's
+    # 32-query spot check did — see RESULTS.md round-3 precision audit)
+    t0 = time.time()
+    full_refs = cpu_results + [
+        cpu_closest(b) for b in range(n_cpu, NUM_CLAIMS)
+    ]
+    log(f"full-batch scipy reference in {time.time()-t0:.1f}s")
     doc2idx = {d: i for i, d in enumerate(index.doc_ids)}
     mismatches = 0
-    for b in range(n_cpu):
-        ref_ids, ref_scores = cpu_results[b]
+    for b in range(NUM_CLAIMS):
+        ref_ids, ref_scores = full_refs[b]
         got_ids = np.array([doc2idx[d] for d in results[b][0]])
         got_scores = results[b][1]
         n = min(len(ref_ids), len(got_ids))
@@ -122,7 +130,7 @@ def main():
             np.sort(ref_scores[:n]), np.sort(got_scores[:n]), rtol=1e-4
         ):
             mismatches += 1
-    log(f"parity: {n_cpu - mismatches}/{n_cpu} queries match")
+    log(f"parity: {NUM_CLAIMS - mismatches}/{NUM_CLAIMS} queries match")
     if mismatches:
         raise SystemExit(f"top-k parity failed on {mismatches} queries")
 

@@ -64,6 +64,11 @@ def main(argv=None):
         "--chunk-docs", type=int, default=1_000_000,
         help="doc-range chunk size when docs exceed one staged pass",
     )
+    ap.add_argument(
+        "--parity-queries", type=int, default=256,
+        help="queries checked against the scipy reference (capped at "
+        "--batch; 32 are also used to time the CPU baseline)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -123,6 +128,10 @@ def main(argv=None):
     cpu_results = [cpu_closest(i) for i in range(n_cpu)]
     cpu_qps = n_cpu / (time.time() - t0)
     log(f"cpu baseline: {cpu_qps:.1f} q/s")
+    # widen the parity reference beyond the timed subset (untimed; a tiny
+    # subset gate can pass by margin luck — RESULTS.md round-3 audit)
+    n_par = min(max(args.parity_queries, n_cpu), B)
+    cpu_results += [cpu_closest(i) for i in range(n_cpu, n_par)]
 
     # TPU hybrid path: the ranker's serving prep (C++ pool gather, sorted
     # queries/pools) + the staged bucketed engine; past one staged pass's
@@ -152,14 +161,14 @@ def main(argv=None):
     log(f"first batch (compile) {time.time()-t0:.0f}s")
 
     mismatches = 0
-    for b in range(n_cpu):
+    for b in range(n_par):
         ref_ids, ref_scores = cpu_results[b]
         n = min(len(ref_ids), int((i[b] >= 0).sum()))
         if not np.allclose(
             np.sort(ref_scores[:n]), np.sort(s[b][:n]), rtol=1e-4
         ):
             mismatches += 1
-    log(f"parity: {n_cpu - mismatches}/{n_cpu}")
+    log(f"parity: {n_par - mismatches}/{n_par}")
     if mismatches:
         raise SystemExit(f"parity failed on {mismatches}")
 
