@@ -136,7 +136,9 @@ def cosine_topk_fused(
     #   opt-in only, verify on your corpus. "highest" = f32-faithful, 64K.
     extra_chunks: int = 0,  # slack chunks kept past k (for low-precision dots)
     epilogue: str = "loop",  # chunk-max shape: "loop" | "fold" (see kernel)
-    corpus_rows: jnp.ndarray = None,  # optional [M_pad, D] f32 rescore rows
+    corpus_rows: jnp.ndarray = None,  # [M_pad, D] f32 rescore rows — pass
+    #   them: the corpus_t.T fallback re-materializes the transpose inside
+    #   jit every call (measured -16%: 109.5K vs 94.4K at 1M/high3)
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense top-k with the fused chunk-max kernel.
