@@ -181,6 +181,55 @@ int64_t ircl_gather_light_pools(
   return mx;
 }
 
+// ---- df-split index build (index/split.py::split_index fast path) ---------
+//
+// The numpy formulation (repeat term ids per posting, boolean-extract the
+// heavy postings, stable-sort by doc, scatter into the ELL) costs ~50s at
+// 1M docs / 83M postings on the 1-core host; these two sequential passes
+// over the term-major CSR do the same work in ~2s. Terms are visited in
+// ascending order, so each doc's ELL row comes out ascending and the light
+// postings keep their term-major order — bit-identical layouts to the
+// numpy path (parity-tested).
+
+// Pass 1: per-doc heavy posting count. widths [num_docs] zeroed by caller.
+void ircl_split_widths(const int64_t* indptr, int64_t hash_size,
+                       const int32_t* post_docs, const uint8_t* heavy_mask,
+                       int32_t* widths) {
+  for (int64_t t = 0; t < hash_size; t++) {
+    if (!heavy_mask[t]) continue;
+    for (int64_t i = indptr[t]; i < indptr[t + 1]; i++) widths[post_docs[i]]++;
+  }
+}
+
+// Pass 2: fill the heavy ELL (out_terms -1-prefilled, out_vals zeroed,
+// fill [num_docs] zeroed) and append light postings in term-major order.
+// Returns the number of light postings written (caller asserts == expected).
+int64_t ircl_split_fill(const int64_t* indptr, int64_t hash_size,
+                        const int32_t* post_docs, const float* post_vals,
+                        const uint8_t* heavy_mask, int64_t K,
+                        int32_t* out_terms, float* out_vals, int32_t* fill,
+                        int32_t* light_docs_out, float* light_vals_out) {
+  int64_t lp = 0;
+  for (int64_t t = 0; t < hash_size; t++) {
+    const int64_t lo = indptr[t], hi = indptr[t + 1];
+    if (heavy_mask[t]) {
+      for (int64_t i = lo; i < hi; i++) {
+        const int64_t d = post_docs[i];
+        const int64_t c = fill[d]++;
+        out_terms[d * K + c] = static_cast<int32_t>(t);
+        out_vals[d * K + c] = post_vals[i];
+      }
+    } else {
+      for (int64_t i = lo; i < hi; i++) {
+        light_docs_out[lp] = post_docs[i];
+        light_vals_out[lp] = post_vals[i];
+        lp++;
+      }
+    }
+  }
+  return lp;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
