@@ -44,9 +44,11 @@ class SplitIndex:
 
 def split_index(index: CountIndex, df_threshold: int = 128) -> SplitIndex:
     """df-split build. Uses the C++ two-pass fill when the native library is
-    available (~25x at 1M docs: the numpy repeat/extract/sort/scatter chain
-    costs ~50s on the 1-core host); ``_split_index_np`` is the bit-identical
-    reference the native path is parity-tested against."""
+    available (~4x at 1M docs / 83M postings in a fair alternating A/B on
+    the shared host: 61-69s numpy repeat/extract/sort/scatter vs 15-26s
+    native; the residual is the 600MB ELL first-touch write);
+    ``_split_index_np`` is the bit-identical reference the native path is
+    parity-tested against."""
     lib = _native_split_lib()
     if lib is None:
         return _split_index_np(index, df_threshold)

@@ -181,6 +181,23 @@ int64_t ircl_gather_light_pools(
   return mx;
 }
 
+// ---- COO -> term-major CSR scatter (index/build.py::assemble_csr) ---------
+//
+// Counting-sort replacement for lexsort((col, row)) + three fancy-index
+// permutes (~13s at 5.5M postings on this host): one stable pass. The
+// caller guarantees doc-major input (col non-decreasing), so each bucket's
+// postings come out doc-ascending — identical to the lexsort. cursor
+// [hash_size] is initialized to indptr[:-1] by the caller.
+void ircl_csr_scatter(const int64_t* row, const int32_t* col,
+                      const int32_t* val, int64_t nnz, int64_t* cursor,
+                      int32_t* out_docs, float* out_vals) {
+  for (int64_t i = 0; i < nnz; i++) {
+    const int64_t p = cursor[row[i]]++;
+    out_docs[p] = col[i];
+    out_vals[p] = static_cast<float>(val[i]);
+  }
+}
+
 // ---- df-split index build (index/split.py::split_index fast path) ---------
 //
 // The numpy formulation (repeat term ids per posting, boolean-extract the

@@ -49,6 +49,51 @@ def test_native_split_matches_numpy(df_threshold):
     )
 
 
+def test_assemble_csr_scatter_matches_lexsort():
+    """The C++ counting-sort CSR scatter must reproduce the lexsort path
+    bit-exactly for doc-major COO input, and assemble_csr must fall back to
+    lexsort for non-doc-major input (still correct, just slower)."""
+    from ircl_tpu.index import build as B
+
+    rng = np.random.default_rng(4)
+    HASH = 1 << 14
+    rows, cols, vals = [], [], []
+    for d in range(500):
+        terms = np.unique(rng.integers(0, HASH, size=rng.integers(1, 30)))
+        rows.extend(terms.tolist())
+        cols.extend([d] * len(terms))
+        vals.extend(rng.integers(1, 5, size=len(terms)).tolist())
+    args = (
+        np.asarray(rows, np.int64),
+        np.asarray(cols, np.int32),
+        np.asarray(vals, np.int32),
+        HASH,
+        2,
+        [str(i) for i in range(500)],
+    )
+    fast = B.assemble_csr(*args)
+    real = B._native_csr_lib
+    try:
+        B._native_csr_lib = lambda: None
+        ref = B.assemble_csr(*args)
+    finally:
+        B._native_csr_lib = real
+    np.testing.assert_array_equal(fast.indptr, ref.indptr)
+    np.testing.assert_array_equal(fast.post_docs, ref.post_docs)
+    np.testing.assert_array_equal(fast.post_vals, ref.post_vals)
+    np.testing.assert_array_equal(fast.doc_freqs, ref.doc_freqs)
+
+    # shuffled (non-doc-major) input: must route to lexsort and still give
+    # a doc-ascending CSR identical to sorting the doc-major input
+    perm = rng.permutation(len(rows))
+    shuffled = B.assemble_csr(
+        args[0][perm], args[1][perm], args[2][perm], HASH, 2, args[5]
+    )
+    np.testing.assert_array_equal(shuffled.indptr, ref.indptr)
+    np.testing.assert_array_equal(shuffled.post_docs, ref.post_docs)
+    np.testing.assert_array_equal(shuffled.post_vals, ref.post_vals)
+
+
 @pytest.mark.skipif(
     _native_split_lib() is None, reason="native library unavailable"
 )
