@@ -25,9 +25,94 @@ import numpy as np
 from ircl_tpu.index.build import CountIndex
 
 
+_WINDOW_CONFIGURED = False
+
+
+def _native_window_lib():
+    global _WINDOW_CONFIGURED
+    import ctypes
+
+    from ircl_tpu.corpus import hashing
+
+    lib = hashing._load_native()
+    if lib is None or not hasattr(lib, "ircl_csr_doc_window"):
+        return None
+    if not _WINDOW_CONFIGURED:
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ircl_csr_doc_window.argtypes = [
+            i64p, ctypes.c_int64, i32p, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p,
+        ]
+        lib.ircl_csr_doc_window.restype = None
+        lib.ircl_csr_window_extract.argtypes = [
+            i64p, i64p, ctypes.c_int64, i32p, f32p, ctypes.c_int32,
+            i32p, f32p,
+        ]
+        lib.ircl_csr_window_extract.restype = None
+        _WINDOW_CONFIGURED = True
+    return lib
+
+
 def slice_doc_range(index: CountIndex, lo: int, hi: int) -> CountIndex:
     """Column (document-range) slice [lo, hi) of a term-major CSR index.
-    Doc ids are renumbered to the chunk-local range."""
+    Doc ids are renumbered to the chunk-local range.
+
+    Posting lists are doc-ascending, so each term's chunk window is found
+    by two C++ binary searches and copied sequentially — the numpy
+    formulation (``_slice_doc_range_np``, kept as the parity reference)
+    repeats + masks ALL postings per chunk, minutes at full-wiki scale."""
+    lib = _native_window_lib()
+    if lib is None:
+        return _slice_doc_range_np(index, lo, hi)
+    import ctypes
+
+    indptr = np.ascontiguousarray(index.indptr, dtype=np.int64)
+    post_docs = np.ascontiguousarray(index.post_docs, dtype=np.int32)
+    post_vals = np.ascontiguousarray(index.post_vals, dtype=np.float32)
+    start = np.empty(index.hash_size, dtype=np.int64)
+    end = np.empty(index.hash_size, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.ircl_csr_doc_window(
+        indptr.ctypes.data_as(i64p),
+        index.hash_size,
+        post_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lo,
+        hi,
+        start.ctypes.data_as(i64p),
+        end.ctypes.data_as(i64p),
+    )
+    counts = end - start
+    new_indptr = np.zeros(index.hash_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_indptr[1:])
+    nnz = int(new_indptr[-1])
+    out_docs = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float32)
+    lib.ircl_csr_window_extract(
+        start.ctypes.data_as(i64p),
+        end.ctypes.data_as(i64p),
+        index.hash_size,
+        post_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        post_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lo,
+        out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return CountIndex(
+        hash_size=index.hash_size,
+        ngram=index.ngram,
+        doc_ids=index.doc_ids[lo:hi],
+        indptr=new_indptr,
+        post_docs=out_docs,
+        post_vals=out_vals,
+        doc_freqs=counts.astype(np.int32),
+        weighted=index.weighted,
+    )
+
+
+def _slice_doc_range_np(index: CountIndex, lo: int, hi: int) -> CountIndex:
+    """Pure-numpy doc-range slice (fallback + native parity reference)."""
     mask = (index.post_docs >= lo) & (index.post_docs < hi)
     term_of_posting = np.repeat(
         np.arange(index.hash_size, dtype=np.int64), np.diff(index.indptr)

@@ -198,6 +198,40 @@ void ircl_csr_scatter(const int64_t* row, const int32_t* col,
   }
 }
 
+// ---- doc-range slice of a term-major CSR (index/chunked.py) ---------------
+//
+// Posting lists are doc-ascending, so a chunk's postings are a contiguous
+// window inside every term's slice: two binary searches per term find it,
+// and one sequential pass copies it — no per-posting mask or term-id
+// materialization over the full corpus (the numpy formulation repeats +
+// bincounts all postings PER CHUNK: minutes at the 447M-posting full-wiki
+// scale).
+
+void ircl_csr_doc_window(const int64_t* indptr, int64_t hash_size,
+                         const int32_t* post_docs, int32_t lo, int32_t hi,
+                         int64_t* out_start, int64_t* out_end) {
+  for (int64_t t = 0; t < hash_size; t++) {
+    const int32_t* b = post_docs + indptr[t];
+    const int64_t n = indptr[t + 1] - indptr[t];
+    out_start[t] = indptr[t] + (std::lower_bound(b, b + n, lo) - b);
+    out_end[t] = indptr[t] + (std::lower_bound(b, b + n, hi) - b);
+  }
+}
+
+void ircl_csr_window_extract(const int64_t* start, const int64_t* end,
+                             int64_t hash_size, const int32_t* post_docs,
+                             const float* post_vals, int32_t lo,
+                             int32_t* out_docs, float* out_vals) {
+  int64_t p = 0;
+  for (int64_t t = 0; t < hash_size; t++) {
+    for (int64_t i = start[t]; i < end[t]; i++) {
+      out_docs[p] = post_docs[i] - lo;
+      out_vals[p] = post_vals[i];
+      p++;
+    }
+  }
+}
+
 // ---- df-split index build (index/split.py::split_index fast path) ---------
 //
 // The numpy formulation (repeat term ids per posting, boolean-extract the
