@@ -127,8 +127,15 @@ class ContrastiveTrainer:
         batch_iter = self.sampler.batches(
             self.featurizer, cfg.accum_steps, cfg.micro_batch, total - start
         )
-        for doc_idx, ids_a, mask_a, ids_k, mask_k in batch_iter:
-            step = int(self.state.step)
+        for i, (doc_idx, ids_a, mask_a, ids_k, mask_k) in enumerate(
+            batch_iter
+        ):
+            # Host-side step counter: int(self.state.step) would read a
+            # device scalar — a full sync per step that serializes batch
+            # assembly behind device execution. The train step advances
+            # state.step by exactly 1 (tests pin this), so host counting
+            # is equivalent.
+            step = start + i
             # Reference schedule (src/train.py:96-122): refresh when
             # step >= cluster_start_steps and step % update_steps == 0.
             if (
@@ -147,11 +154,19 @@ class ContrastiveTrainer:
                 jnp.asarray(mask_k),
                 proto,
             )
-            losses.append(float(loss))
+            # Keep the loss as a device array: float(loss) here would block
+            # on every step, serializing host batch assembly behind device
+            # execution (async dispatch is the pipeline — the sync happens
+            # once per log interval below).
+            losses.append(loss)
 
-            new_step = int(self.state.step)
+            new_step = step + 1
             if new_step % log_step == 0:
-                avg = float(np.mean(losses))
+                # one sync per interval; also validates the host counter
+                assert int(self.state.step) == new_step, (
+                    int(self.state.step), new_step,
+                )
+                avg = float(jnp.mean(jnp.stack(losses)))
                 losses = []
                 sps = log_step / max(time.time() - t0, 1e-9)
                 t0 = time.time()

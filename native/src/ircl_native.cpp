@@ -447,4 +447,48 @@ int64_t ircl_vectorize_ascii(const char* packed, const int64_t* offsets,
   return written;
 }
 
+// ASCII texts -> hashed token-id SEQUENCES (the training featurizer's
+// encode_host hot path: SimpleTokenizer words, lowercased, NO stopword
+// filtering, murmur3(seed 0) % vocab_buckets, truncated at L).
+// out_ids [n, L] and out_mask [n, L] must be zero-prefilled by the caller.
+void ircl_tokenize_hash_seq(const char* packed, const int64_t* offsets,
+                            int64_t n, int64_t vocab_buckets, int64_t L,
+                            int32_t* out_ids, float* out_mask) {
+  std::string w;
+  for (int64_t t = 0; t < n; t++) {
+    const uint8_t* s = reinterpret_cast<const uint8_t*>(packed) + offsets[t];
+    const int64_t len = offsets[t + 1] - offsets[t];
+    int64_t k = 0;
+    int64_t i = 0;
+    while (i < len && k < L) {
+      uint8_t c = s[i];
+      if (is_alnum_ascii(c)) {
+        int64_t j = i;
+        w.clear();
+        while (j < len && is_alnum_ascii(s[j])) {
+          uint8_t ch = s[j];
+          if (ch >= 'A' && ch <= 'Z') ch += 32;
+          w.push_back(static_cast<char>(ch));
+          j++;
+        }
+        i = j;
+      } else if (!is_ws_or_ctrl(c)) {
+        w.assign(1, static_cast<char>(c));
+        i++;
+      } else {
+        i++;
+        continue;
+      }
+      const int64_t h =
+          static_cast<int64_t>(murmur3_x86_32(
+              reinterpret_cast<const uint8_t*>(w.data()),
+              static_cast<int64_t>(w.size()), 0)) %
+          vocab_buckets;
+      out_ids[t * L + k] = static_cast<int32_t>(h);
+      out_mask[t * L + k] = 1.0f;
+      k++;
+    }
+  }
+}
+
 }  // extern "C"
