@@ -93,7 +93,9 @@ def train_verdict(
                 jnp.asarray(types[sel]),
                 jnp.asarray(labels[sel]),
             )
-            losses.append(float(loss))
+            # device array, not float(): keep dispatch async within the
+            # epoch (one sync at the epoch-end mean below)
+            losses.append(loss)
             step += 1
 
         rep = None
@@ -105,7 +107,9 @@ def train_verdict(
         history.append(
             {
                 "epoch": epoch,
-                "train_loss": float(np.mean(losses)) if losses else None,
+                "train_loss": (
+                    float(jnp.mean(jnp.stack(losses))) if losses else None
+                ),
                 "val_macro_f1": rep["macro_f1"] if rep else None,
             }
         )
