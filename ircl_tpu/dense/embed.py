@@ -21,17 +21,26 @@ def embed_corpus(
     texts: Sequence[str],
     batch_size: int = 256,
 ) -> np.ndarray:
-    """Embed a text corpus in fixed-size device batches (last batch padded)."""
+    """Embed a text corpus in fixed-size device batches (last batch padded).
+
+    One-deep software pipeline: batch N+1 is tokenized and dispatched
+    before batch N's result is pulled to the host, so host encode overlaps
+    device execution (JAX async dispatch)."""
     out: List[np.ndarray] = []
     n = len(texts)
+    pending = None  # (device_result, real_rows)
     for i in range(0, n, batch_size):
         chunk = list(texts[i : i + batch_size])
         pad = batch_size - len(chunk)
         if pad:
             chunk = chunk + [""] * pad
         ids, mask = featurizer.encode_host(chunk)
-        emb = np.asarray(embed_fn(params, jnp.asarray(ids), jnp.asarray(mask)))
-        out.append(emb[: batch_size - pad])
+        emb_d = embed_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        if pending is not None:
+            out.append(np.asarray(pending[0])[: pending[1]])
+        pending = (emb_d, batch_size - pad)
+    if pending is not None:
+        out.append(np.asarray(pending[0])[: pending[1]])
     if not out:
         dim = 0
         return np.empty((0, dim), np.float32)
