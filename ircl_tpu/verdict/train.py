@@ -30,6 +30,7 @@ def predict_in_batches(params, cfg, ids, mask, types, batch_size=32):
         lambda p, i, m, t: jnp.argmax(verdict_apply(p, cfg, i, m, t), axis=-1)
     )
     n = len(ids)
+    pending = None  # 1-deep pipeline: host pad/encode overlaps device run
     for lo in range(0, n, batch_size):
         hi = min(lo + batch_size, n)
         pad = batch_size - (hi - lo)
@@ -37,8 +38,12 @@ def predict_in_batches(params, cfg, ids, mask, types, batch_size=32):
         i = np.pad(ids[sl], ((0, pad), (0, 0)))
         m = np.pad(mask[sl], ((0, pad), (0, 0)))
         t = np.pad(types[sl], ((0, pad), (0, 0)))
-        p = np.asarray(fn(params, jnp.asarray(i), jnp.asarray(m), jnp.asarray(t)))
-        preds.append(p[: hi - lo])
+        p_d = fn(params, jnp.asarray(i), jnp.asarray(m), jnp.asarray(t))
+        if pending is not None:
+            preds.append(np.asarray(pending[0])[: pending[1]])
+        pending = (p_d, hi - lo)
+    if pending is not None:
+        preds.append(np.asarray(pending[0])[: pending[1]])
     return np.concatenate(preds) if preds else np.empty(0, np.int32)
 
 
