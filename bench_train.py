@@ -1,12 +1,22 @@
 """Secondary benchmark: contrastive train-step throughput on one chip.
 
-Measures compiled steps/sec (effective batch 256 = 128 x 2 micro-batches,
-reference training shape: BiLSTM 3x256 head over 768-d features, NT-Xent
-with 12544-slot queue) — the workload of ``src/train.py``'s inner loop.
+Default mode measures compiled steps/sec with pre-staged device batches
+(effective batch 256 = 128 x 2 micro-batches, reference training shape:
+BiLSTM 3x256 head over 768-d features, NT-Xent with 12544-slot queue) — the
+pure-device workload of ``src/train.py``'s inner loop.
+
+``--e2e`` measures the REAL training loop instead: ``ContrastiveTrainer``
+over a synthetic corpus, i.e. host pair sampling + C++ tokenize/hash
+(``encode_host``) + async dispatch — the path the reference's DataLoader
+workers feed (``src/dataset.py:159-182`` + ``src/train.py:86-199``). The
+gap between the two modes is exactly the host-assembly overhead that JAX
+async dispatch must hide; before the round-3 host-runtime pass it capped
+end-to-end training at ~11 steps/s against a ~70 steps/s compiled step.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -16,6 +26,82 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def main_e2e(args):
+    """End-to-end trainer throughput: sampler -> encode_host -> train step."""
+    import os
+    import tempfile
+
+    if args.cpu:
+        # beat the pinned axon plugin: env var alone is insufficient
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
+
+    from ircl_tpu.contrastive.state import TrainConfig
+    from ircl_tpu.contrastive.trainer import ContrastiveTrainer
+    from ircl_tpu.corpus.synthetic import generate
+    from ircl_tpu.data.pairs import DocPairSampler
+    from ircl_tpu.models.featurizer import FeaturizerConfig, HashEmbedFeaturizer
+
+    wiki = generate(num_docs=args.docs, num_claims=1, seed=11)
+    docs = list(wiki.sentences.values())
+    sampler = DocPairSampler(docs, sample="augment", seed=7)
+    if args.tiny:
+        # smoke-test shapes (CPU-runnable); throughput numbers meaningless
+        from ircl_tpu.models.encoder import EncoderConfig
+
+        feat = HashEmbedFeaturizer(
+            FeaturizerConfig(dim=16, max_len=8, vocab_buckets=1 << 10)
+        )
+        cfg = TrainConfig(
+            encoder=EncoderConfig(
+                input_size=16, hidden_size=8, output_size=8, num_layers=1
+            ),
+            queue_size=16,
+            queue_start_steps=2,
+            micro_batch=8,
+            accum_steps=2,
+        )
+    else:
+        feat = HashEmbedFeaturizer(FeaturizerConfig(dim=768, max_len=64))
+        cfg = TrainConfig()
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = ContrastiveTrainer(
+            cfg, feat, sampler, ckptdir=td + "/c", logdir=td + "/l"
+        )
+        t0 = time.time()
+        tr.train(total_steps=args.warmup_steps, log_step=10**9)
+        # real host<->device sync (device scalar transfer); on axon,
+        # block_until_ready alone can return before execution finishes
+        assert int(tr.state.step) == args.warmup_steps
+        log(f"warmup {args.warmup_steps} steps (incl. compile) "
+            f"{time.time()-t0:.1f}s")
+
+        total = args.warmup_steps + args.steps
+        t0 = time.time()
+        tr.train(total_steps=total, log_step=10**9)
+        assert int(tr.state.step) == total
+        dt = time.time() - t0
+    sps = args.steps / dt
+    log(f"e2e {sps:.2f} steps/s ({sps * cfg.micro_batch * cfg.accum_steps:.0f}"
+        f" pairs/s) over {args.steps} steps")
+    print(
+        json.dumps(
+            {
+                "metric": "contrastive_train_e2e_steps_per_sec_effbatch256",
+                "value": round(sps, 2),
+                "unit": "steps/s",
+                "vs_baseline": None,
+            }
+        )
+    )
 
 
 def main():
@@ -69,4 +155,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    p = argparse.ArgumentParser()
+    p.add_argument("--e2e", action="store_true",
+                   help="measure the real trainer loop (host assembly "
+                        "included) instead of pre-staged device batches")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--warmup-steps", type=int, default=20)
+    p.add_argument("--docs", type=int, default=2000)
+    p.add_argument("--tiny", action="store_true",
+                   help="smoke-test shapes (CPU-runnable)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (for smoke tests while the "
+                        "TPU tunnel is down)")
+    a = p.parse_args()
+    main_e2e(a) if a.e2e else main()
