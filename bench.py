@@ -25,30 +25,6 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def probe_backend(timeout_s: float = 600.0) -> bool:
-    """Bounded TPU-backend liveness check.
-
-    The axon tunnel can go down for hours at a time; ``jax.devices()`` then
-    hangs indefinitely inside backend init. Probing in a subprocess lets the
-    judged bench fail loudly with its one JSON line instead of hanging the
-    driver. Costs one extra backend init (~seconds) when healthy.
-    """
-    import os
-    import subprocess
-
-    if os.environ.get("JAX_PLATFORMS", "axon") not in ("", "axon"):
-        return True  # explicitly non-axon backends init locally
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     import argparse
 
@@ -60,19 +36,10 @@ def main():
     ap.add_argument("--df-threshold", type=int, default=24)
     args = ap.parse_args()
 
+    from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
+
     if not probe_backend():
-        log("TPU backend unavailable (axon init timed out); aborting bench")
-        print(
-            json.dumps(
-                {
-                    "metric": "sparse_tfidf_retrieval_qps_per_chip",
-                    "value": 0.0,
-                    "unit": "queries/s",
-                    "vs_baseline": None,
-                    "error": "axon backend unavailable (init timeout)",
-                }
-            )
-        )
+        unavailable_line("sparse_tfidf_retrieval_qps_per_chip", "queries/s")
         return
 
     import jax

@@ -38,6 +38,12 @@ def _topk_ref_blocked(queries, corpus, k, block=125_000):
 
 
 def main():
+    from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
+
+    if not probe_backend():
+        unavailable_line("dense_exhaustive_topk_qps_per_chip_1M_docs", "queries/s")
+        return
+
     import jax
     import jax.numpy as jnp
 

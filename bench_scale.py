@@ -71,6 +71,13 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
+
+    if not probe_backend():
+        tag = "1M" if args.docs == 1_000_000 else f"{args.docs/1e6:.1f}M"
+        unavailable_line(f"sparse_hybrid_qps_per_chip_{tag}_docs", "queries/s")
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")

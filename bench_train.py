@@ -168,4 +168,15 @@ if __name__ == "__main__":
                    help="force the CPU backend (for smoke tests while the "
                         "TPU tunnel is down)")
     a = p.parse_args()
+    if not a.cpu:
+        from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
+
+        if not probe_backend():
+            unavailable_line(
+                "contrastive_train_e2e_steps_per_sec_effbatch256"
+                if a.e2e
+                else "contrastive_train_steps_per_sec_effbatch256",
+                "steps/s",
+            )
+            sys.exit(0)
     main_e2e(a) if a.e2e else main()

@@ -22,6 +22,14 @@ def log(*a):
 
 
 def main():
+    from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
+
+    if not probe_backend():
+        unavailable_line(
+            "verdict_train_steps_per_s_roberta_base_shape", "steps/s (B=8, L=512)"
+        )
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -44,6 +44,49 @@ def steady(fn, label: str, batch: int, reps: int = 20, warmup: int = 2):
     return qps
 
 
+def probe_backend(timeout_s: float = 600.0) -> bool:
+    """Bounded TPU-backend liveness check.
+
+    The axon tunnel can go down for hours at a time; ``jax.devices()`` then
+    hangs indefinitely inside backend init. Probing in a subprocess lets a
+    bench fail loudly (one JSON line) instead of hanging its caller. Costs
+    one extra backend init (~seconds) when healthy; skipped for explicitly
+    non-axon backends, which init locally.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("", "axon"):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def unavailable_line(metric: str, unit: str) -> None:
+    """Emit the one-JSON-line failure record for a dead backend."""
+    import json
+
+    log("TPU backend unavailable (axon init timed out); aborting bench")
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": 0.0,
+                "unit": unit,
+                "vs_baseline": None,
+                "error": "axon backend unavailable (init timeout)",
+            }
+        )
+    )
+
+
 def check_topk(s, i, ref: np.ndarray, k: int, label: str, rtol: float = 1e-5):
     """Top-k parity vs a numpy f32 reference score matrix ``ref [n_chk, M]``:
     scores must match the reference's sorted top-k to ``rtol`` AND the id
