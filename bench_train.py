@@ -104,10 +104,18 @@ def main_e2e(args):
     )
 
 
-def main():
+def main(args=None):
+    import os
+
+    if args is not None and args.cpu:
+        # beat the pinned axon plugin: env var alone is insufficient
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
     import jax.numpy as jnp
 
+    if args is not None and args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
 
     from ircl_tpu.contrastive.state import TrainConfig, init_train_state
@@ -179,4 +187,4 @@ if __name__ == "__main__":
                 "steps/s",
             )
             sys.exit(0)
-    main_e2e(a) if a.e2e else main()
+    main_e2e(a) if a.e2e else main(a)

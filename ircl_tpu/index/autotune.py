@@ -115,6 +115,8 @@ def auto_df_threshold(
     r_slab: float = R_SLAB,
     r_mm: float = R_MM,
     ns_light: float = NS_LIGHT,
+    union_floor: int = 512,
+    pool_floor: int = 128,
     return_costs: bool = False,
 ):
     """Pick the df threshold minimizing the modeled batch cost.
@@ -122,9 +124,11 @@ def auto_df_threshold(
     ``index``: a CountIndex (weighted or not). ``query_sample``: optional
     ([B, T] buckets, [B, T] weights) from real traffic; synthesized from the
     df histogram otherwise (``max_terms`` sets its per-query term count —
-    callers should pass their serving profile). ONE pass over the postings
-    covers every candidate (seconds at 1M; the flattened histogram key is
-    the peak transient, ~8 bytes/posting).
+    callers should pass their serving profile). ``union_floor``/``pool_floor``
+    must mirror the serving engine's padding floors (TfidfRanker passes
+    ``fixed_union_cap or 512``; ``gather_light_pools`` pads from 128). ONE
+    pass over the postings covers every candidate (seconds at 1M; the
+    flattened histogram key is the peak transient, ~8 bytes/posting).
     """
     df = index.doc_freqs
     n = index.num_docs
@@ -172,10 +176,10 @@ def auto_df_threshold(
 
         heavy_q = (df[qb] > t) & live
         u = len(np.unique(qb[heavy_q])) if heavy_q.any() else 0
-        u_pad = _pow2(max(u, 1), 512)
+        u_pad = _pow2(max(u, 1), union_floor)
 
         pool = np.where(live & ~(df[qb] > t), df[qb], 0).sum(axis=1)
-        p_pad = _pow2(max(int(pool.max(initial=0)), 1), 64)
+        p_pad = _pow2(max(int(pool.max(initial=0)), 1), pool_floor)
 
         costs[t] = (  # milliseconds
             float(slab_nk) * u_pad / r_slab * 1e3

@@ -211,7 +211,10 @@ def assemble_csr(
         lib is not None
         and nnz
         and np.issubdtype(val.dtype, np.integer)
-        and bool((np.diff(col.astype(np.int64, copy=False)) >= 0).all())
+        # monotonicity check on the raw dtype: np.diff on an int64 copy
+        # would allocate ~16 bytes/posting of transients (7GB at full-wiki
+        # 447M postings) just to guard the fast path
+        and bool((col[1:] >= col[:-1]).all())
     ):
         import ctypes
 
@@ -254,3 +257,28 @@ def to_scipy(index: CountIndex):
         (index.post_vals, index.post_docs, index.indptr),
         shape=(index.hash_size, index.num_docs),
     )
+
+
+def scipy_query_scores(
+    mat, buckets: np.ndarray, weights: np.ndarray, hash_size: int
+) -> np.ndarray:
+    """Exact per-query scipy CSR matvec reference scores, [B, num_docs] f32.
+
+    THE parity reference for every sparse engine (the reference pipeline's
+    ``spvec * doc_mat``, ``tfidf_doc_ranker.py:65``): one sparse row per
+    query from its (bucket, weight) vector — duplicate buckets sum, zero
+    weights drop — times the full index CSR. All engine parity gates
+    (bench_scale, sweep_df, sharded_scale, tests) share this one copy so
+    tolerance/tie policy can't silently diverge.
+    """
+    import scipy.sparse as sp
+
+    rows = []
+    for b in range(len(buckets)):
+        nz = weights[b] != 0
+        spvec = sp.csr_matrix(
+            (weights[b][nz], buckets[b][nz], [0, int(nz.sum())]),
+            shape=(1, hash_size),
+        )
+        rows.append(np.asarray((spvec @ mat).todense()).ravel())
+    return np.stack(rows).astype(np.float32, copy=False)

@@ -227,7 +227,11 @@ class TfidfRanker:
             if df_threshold == "auto":
                 from ircl_tpu.index.autotune import auto_df_threshold
 
-                kw = dict(max_terms=fixed_max_terms or 24)
+                kw = dict(
+                    max_terms=fixed_max_terms or 24,
+                    # mirror the serving pads (autotune's contract)
+                    union_floor=fixed_union_cap or 512,
+                )
                 kw.update(autotune_profile or {})
                 df_threshold = auto_df_threshold(index, **kw)
             self.df_threshold = df_threshold

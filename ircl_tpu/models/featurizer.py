@@ -145,7 +145,8 @@ class HashEmbedFeaturizer:
                 )
                 ids[ascii_idx] = sub_ids
                 mask[ascii_idx] = sub_mask
-            fallback_rows = [b for b in range(B) if b not in set(ascii_idx)]
+            ascii_set = set(ascii_idx)
+            fallback_rows = [b for b in range(B) if b not in ascii_set]
         for b in fallback_rows:
             words = (
                 default_tokenizer().tokenize(normed[b]).words(uncased=True)

@@ -130,22 +130,14 @@ def main():
         ref_dense = None
         log(f"single-device hybrid done in {time.time()-t0:.0f}s")
     else:
-        # Exact host reference: per-query sparse matvec over the full CSR.
+        # Exact host reference: per-query sparse matvec over the full CSR
+        # (shared single copy: ircl_tpu/index/build.py::scipy_query_scores).
         # Fast at any corpus size and independent of every device engine.
-        import scipy.sparse as sp
+        from ircl_tpu.index.build import scipy_query_scores, to_scipy
 
-        from ircl_tpu.index.build import to_scipy
-
-        mat = to_scipy(index)
-        ref_rows = []
-        for b in range(B):
-            nz = qw[b] != 0
-            spvec = sp.csr_matrix(
-                (qw[b][nz], qb[b][nz], [0, int(nz.sum())]),
-                shape=(1, index.hash_size),
-            )
-            ref_rows.append(np.asarray((spvec @ mat).todense()).ravel())
-        ref_dense = np.stack(ref_rows)  # [B, N]
+        ref_dense = scipy_query_scores(
+            to_scipy(index), qb, qw, index.hash_size
+        )  # [B, N]
         o = np.argsort(-ref_dense, axis=1, kind="stable")[:, :K]
         ref_s = np.take_along_axis(ref_dense, o, axis=1)
         ref_i = o

@@ -28,9 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+from ircl_tpu.utils.benchtime import log
 
 
 def main():
@@ -51,9 +49,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import scipy.sparse as sp
-
-    from ircl_tpu.index.build import CountIndex, to_scipy
+    from ircl_tpu.index.build import CountIndex, scipy_query_scores, to_scipy
     from ircl_tpu.index.ranker import TfidfRanker, vectorize_queries
     from ircl_tpu.index.tfidf import idf_vector
 
@@ -101,17 +97,14 @@ def main():
         dfs = args.dfs or [64, 128, 256, 512]
         max_terms = 24
 
-    # scipy parity reference on a spot-check subset
+    # scipy parity reference on a spot-check subset (shared single copy:
+    # ircl_tpu/index/build.py::scipy_query_scores)
     mat = to_scipy(index)
     n_chk = 32
+    dense_ref = scipy_query_scores(mat, qb[:n_chk], qw[:n_chk], index.hash_size)
 
     def cpu_ref(b, k=5):
-        nz = qw[b] != 0
-        spvec = sp.csr_matrix(
-            (qw[b][nz], qb[b][nz], [0, int(nz.sum())]),
-            shape=(1, index.hash_size),
-        )
-        res = np.asarray((spvec @ mat).todense()).ravel()
+        res = dense_ref[b]
         o = np.argsort(-res, kind="stable")[:k]
         return res, np.sort(res[o])[::-1]
 

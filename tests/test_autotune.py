@@ -48,7 +48,7 @@ def test_costs_finite_and_query_models():
 def test_ranker_auto_threshold_parity():
     """df_threshold='auto' resolves to a concrete candidate and the engine
     stays exact vs scipy."""
-    import scipy.sparse as sp
+    from ircl_tpu.index.build import scipy_query_scores
 
     index, claims = _index()
     r = TfidfRanker(index, mode="hybrid", df_threshold="auto")
@@ -57,15 +57,11 @@ def test_ranker_auto_threshold_parity():
     qb, qw = vectorize_queries(
         claims, index.hash_size, index.ngram, index.doc_freqs, index.num_docs
     )
+    ref_dense = scipy_query_scores(mat, qb, qw, index.hash_size)
     out = r.closest_docs_batch(claims, k=5)
     doc2idx = {d: i for i, d in enumerate(index.doc_ids)}
     for b, (ids, scores) in enumerate(out):
-        nz = qw[b] != 0
-        spvec = sp.csr_matrix(
-            (qw[b][nz], qb[b][nz], [0, int(nz.sum())]),
-            shape=(1, index.hash_size),
-        )
-        dense = np.asarray((spvec @ mat).todense()).ravel()
+        dense = ref_dense[b]
         top = np.sort(dense)[::-1][: len(scores)]
         np.testing.assert_allclose(scores, top, rtol=1e-4, atol=1e-6)
         for d, s in zip(ids, scores):
