@@ -20,12 +20,27 @@ def embed_corpus(
     featurizer,
     texts: Sequence[str],
     batch_size: int = 256,
+    mesh=None,
 ) -> np.ndarray:
     """Embed a text corpus in fixed-size device batches (last batch padded).
 
     One-deep software pipeline: batch N+1 is tokenized and dispatched
     before batch N's result is pulled to the host, so host encode overlaps
-    device execution (JAX async dispatch)."""
+    device execution (JAX async dispatch).
+
+    ``mesh``: optional — shard each batch's rows over the mesh's first axis
+    (data parallelism via GSPMD; ``batch_size`` must divide by the axis
+    size). Completes the pod-sharded dense pipeline: embed shards ->
+    ``sharded_cosine_topk`` -> ICI top-k merge."""
+    place = jnp.asarray
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh.axis_names[0]
+        assert batch_size % mesh.shape[axis] == 0, (batch_size, mesh.shape)
+        sh = NamedSharding(mesh, PartitionSpec(axis))
+        place = lambda x: jax.device_put(x, sh)
     out: List[np.ndarray] = []
     n = len(texts)
     pending = None  # (device_result, real_rows)
@@ -35,7 +50,7 @@ def embed_corpus(
         if pad:
             chunk = chunk + [""] * pad
         ids, mask = featurizer.encode_host(chunk)
-        emb_d = embed_fn(params, jnp.asarray(ids), jnp.asarray(mask))
+        emb_d = embed_fn(params, place(ids), place(mask))
         if pending is not None:
             out.append(np.asarray(pending[0])[: pending[1]])
         pending = (emb_d, batch_size - pad)

@@ -251,3 +251,35 @@ def test_cosine_topk_fused_bf16_corpus_with_slack(data):
         assert set(np.asarray(i1)[b].tolist()) == set(
             np.asarray(i0)[b].tolist()
         )
+
+
+def test_embed_corpus_sharded_matches_single_device():
+    """embed_corpus(mesh=...) — batch rows sharded over the data axis via
+    GSPMD — must reproduce the single-device sweep exactly."""
+    from ircl_tpu.contrastive.state import TrainConfig, init_train_state
+    from ircl_tpu.contrastive.train import make_embed_fn
+    from ircl_tpu.dense.embed import embed_corpus
+    from ircl_tpu.models.encoder import EncoderConfig
+    from ircl_tpu.models.featurizer import FeaturizerConfig, HashEmbedFeaturizer
+
+    cfg = TrainConfig(
+        encoder=EncoderConfig(
+            input_size=16, hidden_size=8, output_size=8, num_layers=1
+        ),
+        queue_size=16,
+        micro_batch=8,
+        accum_steps=2,
+    )
+    feat = HashEmbedFeaturizer(
+        FeaturizerConfig(dim=16, max_len=8, vocab_buckets=1 << 10)
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    embed_fn = make_embed_fn(cfg, feat)
+    texts = [f"doc {i} alpha beta tok{i}" for i in range(37)]  # ragged tail
+    ref = embed_corpus(embed_fn, state.params_q, feat, texts, batch_size=16)
+    mesh = make_mesh(("data",))
+    got = embed_corpus(
+        embed_fn, state.params_q, feat, texts, batch_size=16, mesh=mesh
+    )
+    assert got.shape == ref.shape == (37, 8)
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
