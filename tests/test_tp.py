@@ -119,3 +119,32 @@ def test_tp_predict_matches():
         verdict_predict(p, CFG, *shard_batch(mesh, ids, mask, types))
     )
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_tp_transformer_featurizer_inference_matches():
+    """transformer_param_specs applies to any transformer params tree — the
+    frozen TransformerFeaturizer body included: TP-sharded transformer_apply
+    must reproduce the single-device last hidden state (pod-scale corpus
+    embedding with a sharded frozen featurizer)."""
+    from ircl_tpu.models.transformer import (
+        init_transformer_params,
+        transformer_apply,
+    )
+    from ircl_tpu.parallel.tp import transformer_param_specs
+
+    tcfg = CFG.encoder
+    params = init_transformer_params(jax.random.PRNGKey(5), tcfg)
+    ids, mask, types, _ = _batch(3)
+    ref = np.asarray(
+        jax.jit(lambda p, i, m: transformer_apply(p, tcfg, i, m))(
+            params, ids, mask
+        )
+    )
+    mesh = make_tp_mesh(model=4, data=2)
+    p_tp = shard_tree(params, transformer_param_specs(params), mesh)
+    got = np.asarray(
+        jax.jit(lambda p, i, m: transformer_apply(p, tcfg, i, m))(
+            p_tp, *shard_batch(mesh, ids, mask)
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
