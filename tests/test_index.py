@@ -153,6 +153,14 @@ def test_segment_topk_unit():
 @pytest.mark.skipif(
     not os.path.exists("/root/reference"), reason="reference repo not mounted"
 )
+@pytest.mark.filterwarnings(
+    # The reference's get_count_matrix creates its multiprocessing Pool
+    # unconditionally (fork after JAX init). The forked child only
+    # tokenizes/hashes — it never touches JAX — so the fork-deadlock
+    # warning does not apply; the reference code cannot be modified.
+    "ignore:.*os.fork.*:RuntimeWarning",
+    "ignore:.*multi-threaded, use of fork.*:DeprecationWarning",
+)
 def test_parity_with_reference_drqa_ranker(tfidf_index):
     """End-to-end parity with the reference DrQA ranker on the fixture corpus.
 
