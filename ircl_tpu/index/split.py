@@ -165,7 +165,11 @@ class BucketedHeavy:
     ell_a: EllIndex  # narrow bucket (permuted order)
     ell_b: EllIndex  # wide bucket
     pos2old: np.ndarray  # [Na_pad + Nb_pad] int32, -1 at pads
-    old2pos: np.ndarray  # [num_docs + 1] int32 (last entry: pad target 0)
+    # [num_docs + 1] int32. Only real doc ids (< num_docs) are ever looked
+    # up: both light-pool gathers (C++ and numpy) write the out-of-range
+    # pad_doc id into pad slots directly, never remapping them — the fused
+    # kernel's window bounds rely on pads sorting past every real position.
+    old2pos: np.ndarray
 
 
 def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
@@ -192,8 +196,10 @@ def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
 
     def subset(idxs, k_width):
         k_width = max(int(k_width), 1)
-        terms = heavy.terms[idxs][:, :k_width]
-        vals = heavy.vals[idxs][:, :k_width]
+        # slice columns BEFORE the fancy index: [idxs][:, :k] would copy the
+        # full-width rows first (gigabytes of transient at 1M docs)
+        terms = heavy.terms[:, :k_width][idxs]
+        vals = heavy.vals[:, :k_width][idxs]
         return EllIndex(
             terms=np.ascontiguousarray(terms),
             vals=np.ascontiguousarray(vals),
@@ -213,7 +219,11 @@ def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
     old2pos = np.zeros(heavy.num_docs + 1, dtype=np.int32)
     old2pos[a_idx] = np.arange(len(a_idx), dtype=np.int32)
     old2pos[b_idx] = na_pad + np.arange(len(b_idx), dtype=np.int32)
-    old2pos[-1] = 0  # light-pool padding target (zero contribution)
+    # Sentinel entry (index num_docs): never looked up — pad slots get the
+    # out-of-range pad_doc id written directly by both gathers (see
+    # BucketedHeavy docstring); kept so old2pos indexes stay in bounds for
+    # any doc id <= num_docs.
+    old2pos[-1] = 0
     return BucketedHeavy(ell_a=ell_a, ell_b=ell_b, pos2old=pos2old, old2pos=old2pos)
 
 

@@ -92,6 +92,58 @@ def _topk_twophase(
     return s, jnp.take_along_axis(flat, si, axis=1)
 
 
+def _two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly (s = fl(a+b), e the rounding
+    error). XLA does not reassociate floating point, so this holds on TPU."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _dd_add(x, y):
+    """Double-float (hi, lo) addition for ``associative_scan``: keeps the
+    pool prefix sums accurate to ~2^-48 relative, so run totals computed as
+    prefix differences cannot cancel away. A plain f32 cumsum carries
+    ulp(prefix) absolute error — a run whose true total is below the ulp of
+    the accumulated pool mass would round to 0.0 and be dropped entirely by
+    the score filter (TPU has no hardware f64; this is the TPU-native way
+    to get f64-class prefix sums)."""
+    hi, e = _two_sum(x[0], y[0])
+    lo = e + (x[1] + y[1])
+    return _two_sum(hi, lo)
+
+
+def _sorted_pools(light_docs, light_contribs, pools_sorted: bool):
+    """Doc-ascending pools (the one shared copy: pad/sort semantics must
+    stay identical between the staged merge and the fused kernel). The C++
+    gather pre-sorts (sort_pools=True); otherwise one device argsort."""
+    if pools_sorted:
+        return light_docs, light_contribs
+    order = jnp.argsort(light_docs, axis=1)
+    return (
+        jnp.take_along_axis(light_docs, order, axis=1),
+        jnp.take_along_axis(light_contribs, order, axis=1),
+    )
+
+
+def _bucketed_membership(
+    u_sorted, terms_a, vals_a, terms_b, vals_b, d_tile, interpret
+):
+    """Twin width-bucket membership slabs concatenated along docs: the one
+    shared copy for the staged and fused bucketed engines (only the final
+    dot orientation differs between them)."""
+    u_tile = _u_tile(u_sorted.shape[0])
+    ma = membership_slab_windowed(
+        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
+    )
+    mb = membership_slab_windowed(
+        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=d_tile,
+        interpret=interpret,
+    )
+    return jnp.concatenate([ma, mb], axis=1), u_tile  # [U, Na_pad + Nb_pad]
+
+
 def _merge_light(
     h: jnp.ndarray,  # [B, N_pad] exact heavy scores
     light_docs: jnp.ndarray,  # [B, P] int32 (pads: any in-range id, contrib 0)
@@ -109,15 +161,15 @@ def _merge_light(
         h_s, h_i = jax.lax.top_k(h, kk)
 
     # ---- light segment totals (per-row sort by doc, run-end reduction) -----
-    # The C++ gather emits doc-ascending pools (sort_pools=True); skipping
-    # the [B, P] device argsort then saves a full XLA sort per batch.
-    if pools_sorted:
-        sd, sv = light_docs, light_contribs
-    else:
-        order = jnp.argsort(light_docs, axis=1)
-        sd = jnp.take_along_axis(light_docs, order, axis=1)
-        sv = jnp.take_along_axis(light_contribs, order, axis=1)
-    csum = jnp.cumsum(sv, axis=1)
+    sd, sv = _sorted_pools(light_docs, light_contribs, pools_sorted)
+    # Compensated (double-float) prefix sums: run totals are prefix
+    # differences, and a plain f32 cumsum's ulp(prefix) error can exceed a
+    # small run's entire mass (the doc's total rounds to 0 and the score
+    # filter drops it — confirmed by tests/test_hybrid.py's adversarial
+    # cancellation case). (hi, lo) pairs keep ~2^-48 relative accuracy.
+    csum, csum_lo = jax.lax.associative_scan(
+        _dd_add, (sv, jnp.zeros_like(sv)), axis=1
+    )
     nxt = jnp.concatenate([sd[:, 1:], jnp.full_like(sd[:, :1], -1)], axis=1)
     is_end = sd != nxt
     idxs = jnp.arange(P, dtype=jnp.int32)
@@ -127,12 +179,17 @@ def _merge_light(
         jnp.iinfo(jnp.int32).min,
     )
     prev_boundary = jax.lax.associative_scan(jnp.maximum, prev_boundary, axis=1)
+    safe_prev = jnp.maximum(prev_boundary, 0)
+    started = prev_boundary >= 0
     prev_csum = jnp.where(
-        prev_boundary >= 0,
-        jnp.take_along_axis(csum, jnp.maximum(prev_boundary, 0), axis=1),
-        0.0,
+        started, jnp.take_along_axis(csum, safe_prev, axis=1), 0.0
     )
-    l_tot = csum - prev_csum  # valid at run ends
+    prev_lo = jnp.where(
+        started, jnp.take_along_axis(csum_lo, safe_prev, axis=1), 0.0
+    )
+    # valid at run ends; hi difference first (Sterbenz-exact for close
+    # prefixes), then the compensation difference
+    l_tot = (csum - prev_csum) + (csum_lo - prev_lo)
 
     # Pool padding may carry any in-range doc id with zero contribution: its
     # candidate total collapses to H[d] + 0, and the duplicate mask below
@@ -164,8 +221,11 @@ def _merge_light(
 
 def _u_tile(u: int) -> int:
     """At least 4 u-tiles when the union allows it, so the value-range
-    windows can skip work even for small heavy unions (e.g. 512 at 1M docs)."""
-    return max(128, min(512, u // 4))
+    windows can skip work even for small heavy unions (e.g. 512 at 1M docs).
+    Clamped to u itself: a union narrower than 128 slots (fixed_union_cap
+    below 128) must tile at its own width or the slab's u % u_tile == 0
+    assertion trips at serving time."""
+    return min(u, max(128, min(512, u // 4)))
 
 
 _PREC_TABLE = {
@@ -294,17 +354,10 @@ def hybrid_topk_bucketed_fused(
     from ircl_tpu.ops.light_add_pallas import light_add_topk_t
 
     prec = _PREC[precision]
-    u_tile = _u_tile(u_sorted.shape[0])
-    ma = membership_slab_windowed(
-        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
-        interpret=interpret,
-    )
-    mb = membership_slab_windowed(
-        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=d_tile,
-        interpret=interpret,
+    m, u_tile = _bucketed_membership(
+        u_sorted, terms_a, vals_a, terms_b, vals_b, d_tile, interpret
     )
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
-    m = jnp.concatenate([ma, mb], axis=1)  # [U, N_pad]
     h_t = jax.lax.dot_general(
         m, wt, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -313,12 +366,7 @@ def hybrid_topk_bucketed_fused(
 
     B = light_docs.shape[0]
     b_pad = -(-B // 128) * 128
-    if pools_sorted:
-        sd, sv = light_docs, light_contribs
-    else:
-        order = jnp.argsort(light_docs, axis=1)
-        sd = jnp.take_along_axis(light_docs, order, axis=1)
-        sv = jnp.take_along_axis(light_contribs, order, axis=1)
+    sd, sv = _sorted_pools(light_docs, light_contribs, pools_sorted)
     if b_pad != B:
         sd = jnp.pad(sd, ((0, b_pad - B), (0, 0)))
         sv = jnp.pad(sv, ((0, b_pad - B), (0, 0)))
@@ -370,17 +418,10 @@ def hybrid_topk_bucketed(
     Padding positions score 0 and are filtered; real-doc masking is by score,
     not position."""
     prec = _PREC[precision]
-    u_tile = _u_tile(u_sorted.shape[0])
-    ma = membership_slab_windowed(
-        u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
-        interpret=interpret,
-    )
-    mb = membership_slab_windowed(
-        u_sorted, terms_b, vals_b, u_tile=u_tile, d_tile=d_tile,
-        interpret=interpret,
+    m, u_tile = _bucketed_membership(
+        u_sorted, terms_a, vals_a, terms_b, vals_b, d_tile, interpret
     )
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
-    m = jnp.concatenate([ma, mb], axis=1)  # [U, Na_pad + Nb_pad]
     h = jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -26,81 +26,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _light_add_kernel(lo_ref, hi_ref, docs_ref, contribs_ref, h_ref, out_ref):
-    """Grid (b_tiles, d_tiles) — batch OUTER, docs inner, so the pool block
-    (a function of the b-tile only) stays VMEM-resident across the whole
-    d sweep instead of being re-streamed n_dt times (the traffic that gated
-    the fused path to <=200K docs).
+def _window_bounds(docs_t, n_pad: int, d_tile: int, b_tile: int):
+    """Per-(d-tile, b-tile) pool window bounds, flattened for SMEM.
 
-    lo_ref/hi_ref: flat [n_dt * n_bt] int32 window bounds (SMEM)
-    docs_ref/contribs_ref: [P, B_T] pool slices (doc-sorted along P)
-    h_ref/out_ref: [D, B_T] transposed score tiles
+    Pools are doc-ascending along P (a kernel precondition), so the count of
+    docs below each tile boundary IS a binary search: a vmapped
+    ``searchsorted`` over the B columns costs O(B * n_dt * log P) instead of
+    the O(P * B * n_dt) broadcast-compare (at the 200K-doc fused gate with
+    P=8192, B=2048 that compare was ~13e9 int ops per batch). Tile min/max
+    then widen each bound to cover its whole b-tile.
     """
-    j = pl.program_id(0)  # b tile (outer)
-    i = pl.program_id(1)  # d tile (inner)
-    d_t = h_ref.shape[0]
-    b_t = h_ref.shape[1]
-    d0 = i * d_t
-    lo = lo_ref[i * pl.num_programs(0) + j]
-    hi = hi_ref[i * pl.num_programs(0) + j]
-
-    d_iota = d0 + jax.lax.broadcasted_iota(jnp.int32, (d_t, b_t), 0)
-
-    def body(p, acc):
-        docs = docs_ref[p, :]  # [B_T]
-        vals = contribs_ref[p, :]
-        eq = (docs[None, :] == d_iota).astype(jnp.float32)
-        return acc + eq * vals[None, :]
-
-    out_ref[:, :] = jax.lax.fori_loop(lo, hi, body, h_ref[:, :])
-
-
-@functools.partial(jax.jit, static_argnames=("b_tile", "d_tile", "interpret"))
-def light_add_t(
-    h_t: jnp.ndarray,  # [N_pad, B] f32 transposed heavy scores
-    docs_t: jnp.ndarray,  # [P, B] int32 pool docs, ascending along P
-    contribs_t: jnp.ndarray,  # [P, B] f32
-    b_tile: int = 128,
-    d_tile: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """H_T + light contributions, dense and exact.
-    N_pad % d_tile == 0 and B % b_tile == 0 (callers pad)."""
-    n_pad, B = h_t.shape
-    P = docs_t.shape[0]
-    assert B % b_tile == 0 and n_pad % d_tile == 0, (B, n_pad, b_tile, d_tile)
+    P, B = docs_t.shape
     n_dt = n_pad // d_tile
     n_bt = B // b_tile
-
-    # window bounds per (row b, d-tile) via vectorized counts, then tile
-    # min/max over each b-tile; flattened for SMEM (lane padding economics).
     bounds = jnp.arange(0, n_pad + 1, d_tile, dtype=jnp.int32)  # [n_dt + 1]
-    counts = jnp.sum(
-        docs_t[:, :, None] < bounds[None, None, :], axis=0, dtype=jnp.int32
-    )  # [B, n_dt + 1]
+    counts = jax.vmap(
+        lambda col: jnp.searchsorted(col, bounds, side="left"), in_axes=1
+    )(docs_t).astype(jnp.int32)  # [B, n_dt + 1]
     lo = counts[:, :-1].reshape(n_bt, b_tile, n_dt).min(axis=1)  # [n_bt, n_dt]
     hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(axis=1)
-    lo = lo.T.reshape(-1)  # [n_dt * n_bt]
-    hi = hi.T.reshape(-1)
-
-    return pl.pallas_call(
-        _light_add_kernel,
-        grid=(n_bt, n_dt),  # batch outer: pool blocks resident over d sweep
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, b_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (d_tile, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (d_tile, b_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, B), jnp.float32),
-        interpret=interpret,
-    )(lo, hi, docs_t, contribs_t, h_t)
+    return lo.T.reshape(-1), hi.T.reshape(-1)  # [n_dt * n_bt]
 
 
 _NEG = -3.4e38  # plain float: a jnp scalar would be a captured const
@@ -174,14 +119,7 @@ def light_add_topk_t(
     n_bt = B // b_tile
     k8 = -(-k // 8) * 8
 
-    bounds = jnp.arange(0, n_pad + 1, d_tile, dtype=jnp.int32)
-    counts = jnp.sum(
-        docs_t[:, :, None] < bounds[None, None, :], axis=0, dtype=jnp.int32
-    )  # [B, n_dt + 1]
-    lo = counts[:, :-1].reshape(n_bt, b_tile, n_dt).min(axis=1)
-    hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(axis=1)
-    lo = lo.T.reshape(-1)
-    hi = hi.T.reshape(-1)
+    lo, hi = _window_bounds(docs_t, n_pad, d_tile, b_tile)
 
     return pl.pallas_call(
         functools.partial(_light_add_topk_kernel, k=k),

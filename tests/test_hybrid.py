@@ -472,3 +472,71 @@ def test_d_tile_default_resolution(setup):
         assert TfidfRanker(index, df_threshold=8, d_tile=256).d_tile == 256
     finally:
         TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS = saved
+
+
+def test_merge_light_tiny_run_survives_large_prefix():
+    """Adversarial cancellation: a doc whose light total is below the f32
+    ulp of the accumulated pool prefix must still be returned with its
+    (near-)exact total — the compensated double-float prefix scan in
+    _merge_light exists for exactly this case (a plain f32 cumsum rounds
+    the run total to 0.0 and the score filter silently drops the doc)."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops import hybrid as hy
+
+    P = 8192
+    docs = np.concatenate(
+        [np.zeros(P - 2, np.int32), np.ones(2, np.int32)]
+    ).reshape(1, P)
+    contribs = np.concatenate(
+        [np.full(P - 2, 200.0, np.float32), np.full(2, 0.001, np.float32)]
+    ).reshape(1, P)
+    h = np.zeros((1, 64), np.float32)  # no heavy mass
+    s, i = hy._merge_light(
+        jnp.asarray(h), jnp.asarray(docs), jnp.asarray(contribs), 5, 64,
+        pools_sorted=True,
+    )
+    s, i = np.asarray(s), np.asarray(i)
+    got = {int(d): float(v) for d, v in zip(i[0], s[0]) if d >= 0}
+    assert 1 in got, (s, i)  # the tiny run must not vanish
+    np.testing.assert_allclose(got[1], 0.002, rtol=1e-4)
+    np.testing.assert_allclose(got[0], 200.0 * (P - 2), rtol=1e-6)
+
+
+def test_hybrid_fixed_union_cap_below_128(setup):
+    """A fixed_union_cap narrower than the 128 u-tile floor must serve, not
+    trip the slab's u % u_tile assertion (u_tile clamps to the union)."""
+    index, claims = setup
+    r_cap = TfidfRanker(
+        index, mode="hybrid", df_threshold=8, fixed_union_cap=64,
+        fixed_max_terms=24,
+    )
+    r_ref = TfidfRanker(index, mode="ragged")
+    out = r_cap.closest_docs_batch(claims[:8], k=5)
+    ref = r_ref.closest_docs_batch(claims[:8], k=5)
+    for (ids, scores), (rids, rscores) in zip(out, ref):
+        np.testing.assert_allclose(scores, rscores, rtol=1e-4, atol=1e-6)
+
+
+def test_window_bounds_match_brute_counts():
+    """The searchsorted window-bounds pre-pass == brute-force counting on
+    sorted pools (including duplicate runs, all-below and all-above tiles)."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops.light_add_pallas import _window_bounds
+
+    rng = np.random.default_rng(3)
+    P, B, n_pad, d_tile, b_tile = 64, 16, 1024, 256, 8
+    docs = np.sort(
+        rng.integers(0, n_pad, size=(P, B)).astype(np.int32), axis=0
+    )
+    docs[:, 0] = 0  # one all-in-first-tile column
+    docs[:, 1] = n_pad - 1  # one all-in-last-tile column
+    lo, hi = _window_bounds(jnp.asarray(docs), n_pad, d_tile, b_tile)
+    n_dt, n_bt = n_pad // d_tile, B // b_tile
+    bounds = np.arange(0, n_pad + 1, d_tile)
+    counts = (docs[:, :, None] < bounds[None, None, :]).sum(0)  # [B, n_dt+1]
+    ref_lo = counts[:, :-1].reshape(n_bt, b_tile, n_dt).min(1).T.reshape(-1)
+    ref_hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(1).T.reshape(-1)
+    np.testing.assert_array_equal(np.asarray(lo), ref_lo)
+    np.testing.assert_array_equal(np.asarray(hi), ref_hi)
