@@ -104,7 +104,14 @@ def segment_topk(
     sdocs = jnp.take_along_axis(docs, order, axis=1)
     svals = jnp.take_along_axis(contribs, order, axis=1)
 
-    csum = jnp.cumsum(svals, axis=1)
+    # Compensated (double-float) prefix sums — same rationale as
+    # ops/hybrid._merge_light: run totals are prefix differences, and plain
+    # f32 cumsum error of ulp(prefix) can zero out (drop) a small run.
+    from ircl_tpu.ops.hybrid import _dd_add
+
+    csum, csum_lo = jax.lax.associative_scan(
+        _dd_add, (svals, jnp.zeros_like(svals)), axis=1
+    )
     # Run boundary at position i if doc[i] != doc[i+1]; last position always.
     nxt = jnp.concatenate(
         [sdocs[:, 1:], jnp.full_like(sdocs[:, :1], -1)], axis=1
@@ -128,12 +135,17 @@ def segment_topk(
         jnp.iinfo(jnp.int32).min,
     )
     prev_boundary = jax.lax.associative_scan(jnp.maximum, prev_boundary, axis=1)
+    safe_prev = jnp.maximum(prev_boundary, 0)
+    started = prev_boundary >= 0
     prev_csum = jnp.where(
-        prev_boundary >= 0,
-        jnp.take_along_axis(csum, jnp.maximum(prev_boundary, 0), axis=1),
-        0.0,
+        started, jnp.take_along_axis(csum, safe_prev, axis=1), 0.0
     )
-    totals = jnp.where(is_end, csum - prev_csum, -jnp.inf)
+    prev_lo = jnp.where(
+        started, jnp.take_along_axis(csum_lo, safe_prev, axis=1), 0.0
+    )
+    totals = jnp.where(
+        is_end, (csum - prev_csum) + (csum_lo - prev_lo), -jnp.inf
+    )
     # Mask padding runs (doc id INT32_MAX).
     totals = jnp.where(sdocs == jnp.iinfo(jnp.int32).max, -jnp.inf, totals)
 
