@@ -35,18 +35,25 @@ def cosine_topk(
     """Single-device exact top-k. Returns (scores [B,k], indices [B,k])."""
     m = corpus.shape[0]
     kk = min(k, m)
-    if block and m > block and m % block == 0:
+    if block and m > block:
         # Streamed variant for corpora whose [B, M] score matrix pressures
-        # HBM: scan corpus blocks, carrying a running top-k merge.
-        nblk = m // block
+        # HBM: scan corpus blocks, carrying a running top-k merge. A
+        # non-divisible tail must NOT silently fall through to the full
+        # matmul (the HBM blowup `block` exists to avoid): the last block's
+        # dynamic_slice clamps to [m - block, m), and the re-read overlap
+        # rows are masked to -inf so no doc enters the merge twice.
+        nblk = -(-m // block)
 
         def body(carry, blk_idx):
             best_s, best_i = carry
-            rows = jax.lax.dynamic_slice_in_dim(corpus, blk_idx * block, block)
+            start = jnp.minimum(blk_idx * block, m - block)
+            rows = jax.lax.dynamic_slice_in_dim(corpus, start, block)
             s = jnp.dot(
                 queries, rows.T, preferred_element_type=jnp.float32
             )  # [B, block]
-            ids = blk_idx * block + jnp.arange(block, dtype=jnp.int32)
+            ids = start + jnp.arange(block, dtype=jnp.int32)
+            fresh = ids >= blk_idx * block  # False only on tail re-reads
+            s = jnp.where(fresh[None, :], s, -jnp.inf)
             cat_s = jnp.concatenate([best_s, s], axis=1)
             cat_i = jnp.concatenate(
                 [best_i, jnp.broadcast_to(ids, s.shape)], axis=1
@@ -190,8 +197,9 @@ def cosine_topk_scan(
 
 def shard_corpus(corpus: np.ndarray, mesh: Mesh, axis: str = "corpus"):
     """Pad the corpus row count to a multiple of the mesh axis and place it
-    row-sharded. Padding rows are zero (cosine 0, never in top-k of real
-    queries)."""
+    row-sharded. Padding rows are zero — cosine 0, which CAN outrank real
+    negative-cosine docs, so the scorer masks pad positions to -inf by row
+    id (``true_m``) before the merge."""
     n_shards = mesh.shape[axis]
     m = corpus.shape[0]
     padded = (m + n_shards - 1) // n_shards * n_shards
@@ -203,9 +211,13 @@ def shard_corpus(corpus: np.ndarray, mesh: Mesh, axis: str = "corpus"):
     return jax.device_put(corpus, sharding), m
 
 
-def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus"):
+def make_sharded_topk(
+    mesh: Mesh, k: int, axis: str = "corpus", true_m: int = None
+):
     """Build the jitted sharded scorer: local matmul + local top-k + ICI
-    all-gather merge."""
+    all-gather merge. ``true_m``: real (unpadded) corpus rows — pad rows
+    score cosine 0, which would displace real negative-cosine docs from the
+    top-k, so they are masked to -inf before the merge."""
 
     from jax import shard_map
 
@@ -218,6 +230,8 @@ def make_sharded_topk(mesh: Mesh, k: int, axis: str = "corpus"):
         kk = min(k, rows_per_shard)
         s, i = cosine_topk_twophase(queries, corpus_shard, kk)
         gids = i.astype(jnp.int32) + my * rows_per_shard
+        if true_m is not None:
+            s = jnp.where(gids < true_m, s, -jnp.inf)
         # Merge across shards: gather the tiny (s, gids) and re-top-k.
         all_s = jax.lax.all_gather(s, axis, axis=0)  # [n, B, kk]
         all_i = jax.lax.all_gather(gids, axis, axis=0)
@@ -248,10 +262,10 @@ def sharded_cosine_topk(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Convenience wrapper: shard, score, merge; indices into original rows."""
     corpus_sharded, true_m = shard_corpus(corpus, mesh, axis)
-    fn = make_sharded_topk(mesh, k, axis)
+    fn = make_sharded_topk(mesh, k, axis, true_m=true_m)
     s, i = fn(jnp.asarray(queries), corpus_sharded)
     s, i = np.asarray(s), np.asarray(i)
-    # Drop any padded rows that sneaked in (possible only when a query's true
-    # matches are fewer than k and scores tie at 0).
+    # Pad rows were masked to -inf pre-merge; they can only surface when a
+    # shard holds fewer than k real rows. Normalize them to (-inf, -1).
     valid = i < true_m
     return np.where(valid, s, -np.inf), np.where(valid, i, -1)

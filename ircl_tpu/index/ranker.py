@@ -504,29 +504,7 @@ class TfidfRanker:
                 ids = [self.dev.doc_ids[i] for i in doc_idx[b][keep]]
                 out.append((ids, scores[b][keep]))
             return out
-        buckets, weights = self._vectorize(queries)
-        total_posting_bound = int(
-            np.sum(
-                np.where(
-                    weights != 0.0,
-                    self.dev.doc_freqs[buckets].astype(np.int64),
-                    0,
-                ),
-                axis=1,
-            ).max()
-            if len(queries)
-            else 1
-        )
-        nnz_cap = ragged.choose_nnz_cap(max(total_posting_bound, 1))
-
-        docs, contribs, _ = ragged.gather_postings(
-            self.dev.indptr,
-            self.dev.post_docs,
-            self.dev.post_vals,
-            jnp.asarray(buckets),
-            jnp.asarray(weights),
-            nnz_cap=nnz_cap,
-        )
+        docs, contribs, nnz_cap = self._gather_ragged(queries)
         scores, doc_idx = ragged.segment_topk(docs, contribs, k=min(k, max(1, nnz_cap)))
         scores = np.asarray(scores)
         doc_idx = np.asarray(doc_idx)
@@ -541,8 +519,10 @@ class TfidfRanker:
     def closest_docs(self, query: str, k: int = 5) -> Tuple[List[str], np.ndarray]:
         return self.closest_docs_batch([query], k)[0]
 
-    def dense_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
-        """Full [B, num_docs] score matrix (validation / small corpora)."""
+    def _gather_ragged(self, queries: Sequence[str]):
+        """vectorize -> posting bound -> nnz cap -> gathered (docs,
+        contribs): the ONE copy shared by the ragged top-k path and the
+        dense validation scorer it is parity-checked against."""
         buckets, weights = self._vectorize(queries)
         total_posting_bound = int(
             np.sum(
@@ -565,6 +545,11 @@ class TfidfRanker:
             jnp.asarray(weights),
             nnz_cap=nnz_cap,
         )
+        return docs, contribs, nnz_cap
+
+    def dense_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
+        """Full [B, num_docs] score matrix (validation / small corpora)."""
+        docs, contribs, _ = self._gather_ragged(queries)
         return np.asarray(
             ragged.dense_scores(docs, contribs, num_docs=self.dev.num_docs)
         )

@@ -169,8 +169,32 @@ def cosine_topk_fused(
     if m_real is None:
         m_real = m
     assert m % m_tile == 0 and m_tile % chunk == 0, (m, m_tile, chunk)
+    if precision is not None and precision not in _PRECISIONS and (
+        precision != "high3"
+    ):
+        raise ValueError(
+            f"unknown precision {precision!r}; use None/'default' (bf16 "
+            "1-pass fast mode), 'high3' (manual bf16_3x — Mosaic rejects "
+            "Precision.HIGH in-kernel), or 'highest' (f32-faithful)"
+        )
+    if precision == "high":
+        raise ValueError(
+            "precision='high' cannot lower: Mosaic rejects Precision.HIGH "
+            "on the in-kernel dot — use 'high3' (the manual bf16_3x "
+            "equivalent, same accuracy class)"
+        )
     if corpus_t.dtype == jnp.bfloat16:
         assert corpus_rows is not None, "bf16 corpus_t needs f32 corpus_rows"
+        if precision in ("high3", "highest") and extra_chunks == 0:
+            # the kernel dot on bf16 inputs is bf16 1-pass no matter what
+            # precision names — selection is then measurably inexact
+            # (39/1024 top-5 misses on the 1M bench corpus) unless slack
+            # chunks absorb the error
+            raise ValueError(
+                f"precision={precision!r} with a bf16 corpus_t silently "
+                "runs the bf16 1-pass dot (inputs are already bf16); pass "
+                "extra_chunks>0 for selection slack or keep the corpus f32"
+            )
     if epilogue == "fold":
         npt = m_tile // chunk
         assert chunk & (chunk - 1) == 0 and npt & (npt - 1) == 0, (

@@ -144,6 +144,47 @@ def _bucketed_membership(
     return jnp.concatenate([ma, mb], axis=1), u_tile  # [U, Na_pad + Nb_pad]
 
 
+def _run_totals(sd: jnp.ndarray, sv: jnp.ndarray):
+    """Per-run totals of doc-sorted pools: (is_end [B, P], l_tot [B, P]).
+
+    ``l_tot`` is valid at run ends (``is_end``). The ONE shared copy of the
+    compensated run-reduction used by the staged hybrid merge and the
+    ragged engine (``ops/ragged.segment_topk``): double-float prefix sums
+    (``_dd_add``) so run totals computed as prefix differences cannot
+    cancel against the accumulated pool mass — a plain f32 cumsum carries
+    ulp(prefix) absolute error, which can exceed (and zero out) a small
+    run's entire total.
+    """
+    P = sd.shape[1]
+    csum, csum_lo = jax.lax.associative_scan(
+        _dd_add, (sv, jnp.zeros_like(sv)), axis=1
+    )
+    nxt = jnp.concatenate([sd[:, 1:], jnp.full_like(sd[:, :1], -1)], axis=1)
+    is_end = sd != nxt
+    idxs = jnp.arange(P, dtype=jnp.int32)
+    prev_boundary = jnp.where(
+        jnp.concatenate(
+            [jnp.zeros_like(is_end[:, :1]), is_end[:, :-1]], axis=1
+        ),
+        idxs[None, :] - 1,
+        jnp.iinfo(jnp.int32).min,
+    )
+    prev_boundary = jax.lax.associative_scan(
+        jnp.maximum, prev_boundary, axis=1
+    )
+    safe_prev = jnp.maximum(prev_boundary, 0)
+    started = prev_boundary >= 0
+    prev_csum = jnp.where(
+        started, jnp.take_along_axis(csum, safe_prev, axis=1), 0.0
+    )
+    prev_lo = jnp.where(
+        started, jnp.take_along_axis(csum_lo, safe_prev, axis=1), 0.0
+    )
+    # hi difference first (Sterbenz-exact for close prefixes), then the
+    # compensation difference
+    return is_end, (csum - prev_csum) + (csum_lo - prev_lo)
+
+
 def _merge_light(
     h: jnp.ndarray,  # [B, N_pad] exact heavy scores
     light_docs: jnp.ndarray,  # [B, P] int32 (pads: any in-range id, contrib 0)
@@ -162,34 +203,7 @@ def _merge_light(
 
     # ---- light segment totals (per-row sort by doc, run-end reduction) -----
     sd, sv = _sorted_pools(light_docs, light_contribs, pools_sorted)
-    # Compensated (double-float) prefix sums: run totals are prefix
-    # differences, and a plain f32 cumsum's ulp(prefix) error can exceed a
-    # small run's entire mass (the doc's total rounds to 0 and the score
-    # filter drops it — confirmed by tests/test_hybrid.py's adversarial
-    # cancellation case). (hi, lo) pairs keep ~2^-48 relative accuracy.
-    csum, csum_lo = jax.lax.associative_scan(
-        _dd_add, (sv, jnp.zeros_like(sv)), axis=1
-    )
-    nxt = jnp.concatenate([sd[:, 1:], jnp.full_like(sd[:, :1], -1)], axis=1)
-    is_end = sd != nxt
-    idxs = jnp.arange(P, dtype=jnp.int32)
-    prev_boundary = jnp.where(
-        jnp.concatenate([jnp.zeros_like(is_end[:, :1]), is_end[:, :-1]], axis=1),
-        idxs[None, :] - 1,
-        jnp.iinfo(jnp.int32).min,
-    )
-    prev_boundary = jax.lax.associative_scan(jnp.maximum, prev_boundary, axis=1)
-    safe_prev = jnp.maximum(prev_boundary, 0)
-    started = prev_boundary >= 0
-    prev_csum = jnp.where(
-        started, jnp.take_along_axis(csum, safe_prev, axis=1), 0.0
-    )
-    prev_lo = jnp.where(
-        started, jnp.take_along_axis(csum_lo, safe_prev, axis=1), 0.0
-    )
-    # valid at run ends; hi difference first (Sterbenz-exact for close
-    # prefixes), then the compensation difference
-    l_tot = (csum - prev_csum) + (csum_lo - prev_lo)
+    is_end, l_tot = _run_totals(sd, sv)  # compensated; valid at run ends
 
     # Pool padding may carry any in-range doc id with zero contribution: its
     # candidate total collapses to H[d] + 0, and the duplicate mask below

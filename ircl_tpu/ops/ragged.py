@@ -104,48 +104,13 @@ def segment_topk(
     sdocs = jnp.take_along_axis(docs, order, axis=1)
     svals = jnp.take_along_axis(contribs, order, axis=1)
 
-    # Compensated (double-float) prefix sums — same rationale as
-    # ops/hybrid._merge_light: run totals are prefix differences, and plain
-    # f32 cumsum error of ulp(prefix) can zero out (drop) a small run.
-    from ircl_tpu.ops.hybrid import _dd_add
+    # Shared compensated run reduction (ops/hybrid._run_totals): double-
+    # float prefix sums so a small run's total cannot cancel against the
+    # accumulated prefix; totals are valid at run ends.
+    from ircl_tpu.ops.hybrid import _run_totals
 
-    csum, csum_lo = jax.lax.associative_scan(
-        _dd_add, (svals, jnp.zeros_like(svals)), axis=1
-    )
-    # Run boundary at position i if doc[i] != doc[i+1]; last position always.
-    nxt = jnp.concatenate(
-        [sdocs[:, 1:], jnp.full_like(sdocs[:, :1], -1)], axis=1
-    )
-    is_end = sdocs != nxt
-    # Segment total at a run end = csum[end] - csum[previous run end].
-    prev_end_csum = jnp.where(is_end, csum, 0.0)
-    # For each run end, the previous run's csum: propagate the last seen
-    # csum-at-end to the right, shifted by one run. Equivalent: exclusive
-    # "csum at previous boundary" = csum - within-run cumsum; compute via
-    # subtracting the carried csum of the previous boundary using a scan-free
-    # trick: boundary csums gathered densely below.
-    del prev_end_csum
-
-    # Dense trick: totals[i] = csum[i] - csum[j] where j is the previous
-    # boundary index. Build j via a max-scan of boundary positions.
-    idxs = jnp.arange(sdocs.shape[1], dtype=jnp.int32)
-    prev_boundary = jnp.where(
-        jnp.concatenate([jnp.zeros_like(is_end[:, :1]), is_end[:, :-1]], axis=1),
-        idxs[None, :] - 1,
-        jnp.iinfo(jnp.int32).min,
-    )
-    prev_boundary = jax.lax.associative_scan(jnp.maximum, prev_boundary, axis=1)
-    safe_prev = jnp.maximum(prev_boundary, 0)
-    started = prev_boundary >= 0
-    prev_csum = jnp.where(
-        started, jnp.take_along_axis(csum, safe_prev, axis=1), 0.0
-    )
-    prev_lo = jnp.where(
-        started, jnp.take_along_axis(csum_lo, safe_prev, axis=1), 0.0
-    )
-    totals = jnp.where(
-        is_end, (csum - prev_csum) + (csum_lo - prev_lo), -jnp.inf
-    )
+    is_end, l_tot = _run_totals(sdocs, svals)
+    totals = jnp.where(is_end, l_tot, -jnp.inf)
     # Mask padding runs (doc id INT32_MAX).
     totals = jnp.where(sdocs == jnp.iinfo(jnp.int32).max, -jnp.inf, totals)
 

@@ -283,3 +283,21 @@ def test_embed_corpus_sharded_matches_single_device():
     )
     assert got.shape == ref.shape == (37, 8)
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_topk_negative_cosines_with_padding():
+    """Zero pad rows (cosine 0) must NOT displace real negative-cosine docs
+    from the sharded top-k: pads are masked to -inf by row id pre-merge."""
+    rng = np.random.default_rng(4)
+    Q = _norm(rng.normal(size=(6, 16))).astype(np.float32)
+    C = _norm(-Q[:1] + 0.01 * rng.normal(size=(13, 16))).astype(np.float32)
+    # 13 docs on an 8-way mesh -> 3 zero pad rows; query 0's cosines are all
+    # strongly negative, so every pad row would outrank every real doc.
+    mesh = make_mesh(("corpus",))
+    s, i = sharded_cosine_topk(Q, C, k=5, mesh=mesh)
+    ref = Q @ C.T
+    for b in range(Q.shape[0]):
+        order = np.argsort(-ref[b])[:5]
+        assert (i[b] >= 0).all() and (i[b] < 13).all(), i[b]
+        np.testing.assert_allclose(s[b], ref[b][order], rtol=1e-5)
+        assert set(i[b].tolist()) == set(order.tolist())
