@@ -88,7 +88,14 @@ def run_hierarchical(
         density = np.where(
             multi, (sqrt_sum / np.maximum(counts, 1.0)) / np.log(counts + 10.0), 0.0
         )
-        density = np.where(multi, density, density.max() if multi.any() else 0.0)
+        if multi.any() and density.max() > 0:
+            density = np.where(multi, density, density.max())
+        else:
+            # all-singleton (granularity >= corpus size) or zero spread:
+            # the reference's singleton rule (max of multi densities) is
+            # undefined here and zero temperatures would NaN the proto
+            # loss — use a flat temperature instead
+            density = np.ones(kk)
         density = np.clip(
             density, np.percentile(density, 10), np.percentile(density, 90)
         )

@@ -123,6 +123,15 @@ def proto_loss(
         logits = jnp.dot(q, selected.T, preferred_element_type=jnp.float32)
         temp = jnp.concatenate([dens[ids], dens[negs]], axis=0)  # [N+R]
         logits = logits / temp[None, :]
+        # When num_neg exceeds the count of non-positive clusters (small
+        # corpora / few clusters), sample_negative_prototypes must still
+        # return num_neg ids and batch positives leak in: mask each row's
+        # OWN prototype out of its negative columns so the positive never
+        # sits in the denominator twice.
+        own = ids[:, None] == negs[None, :]  # [N, R]
+        logits = jnp.concatenate(
+            [logits[:, :n], jnp.where(own, -jnp.inf, logits[:, n:])], axis=1
+        )
         labels = jnp.arange(n)
         row_loss = jax.nn.logsumexp(logits, axis=1) - logits[labels, labels]
         total = total + jnp.sum(row_loss)

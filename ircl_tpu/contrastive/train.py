@@ -34,7 +34,11 @@ def _enqueue(
     """Functional ring-buffer write (reference ``_dequeue_and_enqueue``,
     ``contrastive_module.py:55-68``). keys: [N, D]."""
     n = keys.shape[0]
-    queue = jax.lax.dynamic_update_slice(queue, keys.T, (0, ptr))
+    # cast: under compute_dtype="bfloat16" the keys arrive bf16 while the
+    # queue buffer stays f32 (dynamic_update_slice requires equal dtypes)
+    queue = jax.lax.dynamic_update_slice(
+        queue, keys.T.astype(queue.dtype), (0, ptr)
+    )
     ptr = (ptr + n) % queue_size
     return queue, ptr
 
@@ -50,9 +54,18 @@ def make_train_step(config: TrainConfig, featurizer, jit: bool = True):
     tx = make_optimizer(config)
     enc_cfg = config.encoder
     eff_batch = config.micro_batch * config.accum_steps
-    do_enqueue = (
-        config.use_queue and config.queue_size % config.micro_batch == 0
-    )
+    if config.use_queue and config.queue_size % config.micro_batch != 0:
+        # The reference SILENTLY skips the ring-buffer write in this case
+        # (contrastive_module.py:59) — training would then run forever
+        # against the frozen random-init queue while the queue term stays
+        # in the loss. Deliberate deviation: fail fast instead.
+        raise ValueError(
+            f"queue_size ({config.queue_size}) must be a multiple of "
+            f"micro_batch ({config.micro_batch}) when use_queue=True; "
+            "otherwise keys are never enqueued and the loss trains against "
+            "the random-init queue"
+        )
+    do_enqueue = config.use_queue
 
     compute_dtype = jnp.dtype(config.compute_dtype)
 

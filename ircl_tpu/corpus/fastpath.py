@@ -33,16 +33,10 @@ def _python_vectorize_one(
     return uniq.astype(np.int64), counts.astype(np.int32)
 
 
-_VEC_CONFIGURED = False
-
-
 def _native_vectorizer():
-    global _VEC_CONFIGURED
-    lib = hashing._load_native()
-    if lib is None:
-        return None
-    if not _VEC_CONFIGURED:
-        lib.ircl_vectorize_ascii.argtypes = [
+    return hashing.get_native(
+        "ircl_vectorize_ascii",
+        [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
@@ -52,10 +46,9 @@ def _native_vectorizer():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
-        ]
-        lib.ircl_vectorize_ascii.restype = ctypes.c_int64
-        _VEC_CONFIGURED = True
-    return lib
+        ],
+        ctypes.c_int64,
+    )
 
 
 def batch_vectorize(

@@ -123,6 +123,28 @@ def _load_native():
     return _NATIVE_LIB
 
 
+_SIG_CONFIGURED: set = set()
+
+
+def get_native(symbol: str, argtypes, restype):
+    """Load the native runtime and configure ``symbol``'s ctypes signature
+    once. Returns the CDLL (or None when the library or symbol is absent).
+
+    The ONE copy of the load-probe-configure boilerplate every native entry
+    point needs — callers chain one call per symbol instead of keeping a
+    per-module _CONFIGURED flag in sync with ircl_native.cpp by hand.
+    """
+    lib = _load_native()
+    if lib is None or not hasattr(lib, symbol):
+        return None
+    if symbol not in _SIG_CONFIGURED:
+        fn = getattr(lib, symbol)
+        fn.argtypes = argtypes
+        fn.restype = restype
+        _SIG_CONFIGURED.add(symbol)
+    return lib
+
+
 def hash_token(token: str, num_buckets: int) -> int:
     """Feature-hash one token: unsigned murmur3 mod num_buckets.
 

@@ -58,7 +58,14 @@ class CountIndex:
 
     @property
     def doc2idx(self) -> Dict[str, int]:
-        return {d: i for i, d in enumerate(self.doc_ids)}
+        """doc id -> position, memoized: rebuilding the dict is O(num_docs)
+        (seconds at full-wiki 5.4M on this host) and property syntax invites
+        per-query use. doc_ids never mutates after construction."""
+        cached = getattr(self, "_doc2idx", None)
+        if cached is None or len(cached) != len(self.doc_ids):
+            cached = {d: i for i, d in enumerate(self.doc_ids)}
+            object.__setattr__(self, "_doc2idx", cached)
+        return cached
 
     def max_doc_freq(self) -> int:
         return int(self.doc_freqs.max()) if self.nnz else 0
@@ -160,28 +167,19 @@ def build_count_index(
     return assemble_csr(row, col, val, hash_size, ngram, [str(d) for d in doc_ids])
 
 
-_CSR_CONFIGURED = False
-
-
 def _native_csr_lib():
-    global _CSR_CONFIGURED
     import ctypes
 
-    from ircl_tpu.corpus import hashing
+    from ircl_tpu.corpus.hashing import get_native
 
-    lib = hashing._load_native()
-    if lib is None or not hasattr(lib, "ircl_csr_scatter"):
-        return None
-    if not _CSR_CONFIGURED:
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.ircl_csr_scatter.argtypes = [
-            i64p, i32p, i32p, ctypes.c_int64, i64p, i32p, f32p
-        ]
-        lib.ircl_csr_scatter.restype = None
-        _CSR_CONFIGURED = True
-    return lib
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    return get_native(
+        "ircl_csr_scatter",
+        [i64p, i32p, i32p, ctypes.c_int64, i64p, i32p, f32p],
+        None,
+    )
 
 
 def assemble_csr(

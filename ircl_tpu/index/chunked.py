@@ -25,34 +25,27 @@ import numpy as np
 from ircl_tpu.index.build import CountIndex
 
 
-_WINDOW_CONFIGURED = False
-
-
 def _native_window_lib():
-    global _WINDOW_CONFIGURED
     import ctypes
 
-    from ircl_tpu.corpus import hashing
+    from ircl_tpu.corpus.hashing import get_native
 
-    lib = hashing._load_native()
-    if lib is None or not hasattr(lib, "ircl_csr_doc_window"):
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if get_native(
+        "ircl_csr_doc_window",
+        [i64p, ctypes.c_int64, i32p, ctypes.c_int32, ctypes.c_int32,
+         i64p, i64p],
+        None,
+    ) is None:
         return None
-    if not _WINDOW_CONFIGURED:
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.ircl_csr_doc_window.argtypes = [
-            i64p, ctypes.c_int64, i32p, ctypes.c_int32, ctypes.c_int32,
-            i64p, i64p,
-        ]
-        lib.ircl_csr_doc_window.restype = None
-        lib.ircl_csr_window_extract.argtypes = [
-            i64p, i64p, ctypes.c_int64, i32p, f32p, ctypes.c_int32,
-            i32p, f32p,
-        ]
-        lib.ircl_csr_window_extract.restype = None
-        _WINDOW_CONFIGURED = True
-    return lib
+    return get_native(
+        "ircl_csr_window_extract",
+        [i64p, i64p, ctypes.c_int64, i32p, f32p, ctypes.c_int32,
+         i32p, f32p],
+        None,
+    )
 
 
 def slice_doc_range(index: CountIndex, lo: int, hi: int) -> CountIndex:

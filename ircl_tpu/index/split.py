@@ -227,64 +227,48 @@ def bucket_heavy(heavy: EllIndex, d_tile: int = 256) -> BucketedHeavy:
     return BucketedHeavy(ell_a=ell_a, ell_b=ell_b, pos2old=pos2old, old2pos=old2pos)
 
 
-_SPLIT_CONFIGURED = False
-
-
 def _native_split_lib():
-    global _SPLIT_CONFIGURED
     import ctypes
 
-    from ircl_tpu.corpus import hashing
+    from ircl_tpu.corpus.hashing import get_native
 
-    lib = hashing._load_native()
-    if lib is None or not hasattr(lib, "ircl_split_fill"):
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    if get_native(
+        "ircl_split_widths", [i64p, ctypes.c_int64, i32p, u8p, i32p], None
+    ) is None:
         return None
-    if not _SPLIT_CONFIGURED:
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.ircl_split_widths.argtypes = [
-            i64p, ctypes.c_int64, i32p, u8p, i32p
-        ]
-        lib.ircl_split_widths.restype = None
-        lib.ircl_split_fill.argtypes = [
-            i64p, ctypes.c_int64, i32p, f32p, u8p, ctypes.c_int64,
-            i32p, f32p, i32p, i32p, f32p,
-        ]
-        lib.ircl_split_fill.restype = ctypes.c_int64
-        _SPLIT_CONFIGURED = True
-    return lib
-
-
-_GLP_CONFIGURED = False
+    return get_native(
+        "ircl_split_fill",
+        [i64p, ctypes.c_int64, i32p, f32p, u8p, ctypes.c_int64,
+         i32p, f32p, i32p, i32p, f32p],
+        ctypes.c_int64,
+    )
 
 
 def _native_light_lib():
-    global _GLP_CONFIGURED
     import ctypes
 
-    from ircl_tpu.corpus import hashing
+    from ircl_tpu.corpus.hashing import get_native
 
-    lib = hashing._load_native()
-    if lib is None or not hasattr(lib, "ircl_gather_light_pools"):
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if get_native(
+        "ircl_light_pool_max",
+        [i32p, f32p, ctypes.c_int64, ctypes.c_int64, i64p],
+        ctypes.c_int64,
+    ) is None:
         return None
-    if not _GLP_CONFIGURED:
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.ircl_light_pool_max.argtypes = [
-            i32p, f32p, ctypes.c_int64, ctypes.c_int64, i64p
-        ]
-        lib.ircl_light_pool_max.restype = ctypes.c_int64
-        lib.ircl_gather_light_pools.argtypes = [
-            i32p, f32p, ctypes.c_int64, ctypes.c_int64,
-            i64p, i32p, f32p, i32p,
-            ctypes.c_int32, ctypes.c_int32, i32p, f32p, ctypes.c_int64,
-        ]
-        lib.ircl_gather_light_pools.restype = ctypes.c_int64
-        _GLP_CONFIGURED = True
-    return lib
+    return get_native(
+        "ircl_gather_light_pools",
+        [i32p, f32p, ctypes.c_int64, ctypes.c_int64,
+         i64p, i32p, f32p, i32p,
+         ctypes.c_int32, ctypes.c_int32, i32p, f32p, ctypes.c_int64],
+        ctypes.c_int64,
+    )
 
 
 def gather_light_pools(

@@ -58,20 +58,14 @@ class FeaturizerConfig:
     hf_name: str = "bert-base-uncased"  # kind="hf" checkpoint name
 
 
-_SEQ_CONFIGURED = False
-
-
 def _native_seq_lib():
-    global _SEQ_CONFIGURED
     import ctypes
 
-    from ircl_tpu.corpus import hashing
+    from ircl_tpu.corpus.hashing import get_native
 
-    lib = hashing._load_native()
-    if lib is None or not hasattr(lib, "ircl_tokenize_hash_seq"):
-        return None
-    if not _SEQ_CONFIGURED:
-        lib.ircl_tokenize_hash_seq.argtypes = [
+    return get_native(
+        "ircl_tokenize_hash_seq",
+        [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64,
@@ -79,10 +73,9 @@ def _native_seq_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.ircl_tokenize_hash_seq.restype = None
-        _SEQ_CONFIGURED = True
-    return lib
+        ],
+        None,
+    )
 
 
 class HashEmbedFeaturizer:

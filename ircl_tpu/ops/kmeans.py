@@ -120,10 +120,15 @@ def phi_density(
     )
     dmax = jnp.max(density)
     density = jnp.where(multi, density, dmax)
+    # Degenerate case: every cluster a singleton (granularity >= corpus) or
+    # zero spread — the reference's singleton rule (max of multi-cluster
+    # densities) is undefined and zero temperatures would NaN/inf the proto
+    # loss; fall back to a flat temperature.
+    density = jnp.where(dmax <= 0.0, jnp.ones_like(density), density)
     lo = jnp.percentile(density, 10.0)
     hi = jnp.percentile(density, 90.0)
     density = jnp.clip(density, lo, hi)
-    return temperature * density / jnp.mean(density)
+    return temperature * density / jnp.maximum(jnp.mean(density), 1e-12)
 
 
 def normalize_rows(c: jnp.ndarray) -> jnp.ndarray:

@@ -3,8 +3,8 @@
 // Currently provides:
 //   - ircl_murmur3_batch: MurmurHash3 x86_32 over a packed batch of UTF-8
 //     strings (the index-build hot path: millions of hashed ngrams).
-//   - ircl_bincount_pairs: (row=hash, col=doc) COO duplicate-merge helper used
-//     by the sparse index builder.
+//   - df-split fill, CSR counting-sort/window slice, light-pool gather,
+//     and the sequence tokenizer (see each function's comment).
 //
 // The compute path of the framework is JAX/XLA/Pallas on TPU; this library is
 // the CPU runtime for text->feature-id transformation, mirroring the role the
@@ -85,31 +85,6 @@ void ircl_murmur3_batch(const char* packed, const int64_t* offsets, int64_t n,
   for (int64_t i = 0; i < n; i++) {
     out[i] = murmur3_x86_32(base + offsets[i], offsets[i + 1] - offsets[i], seed);
   }
-}
-
-// Merge duplicate (row, col) COO entries by summing data. Input arrays of
-// length n; outputs written into out_* arrays (capacity n). Returns the number
-// of unique pairs. Rows are hash buckets (int64), cols are doc indices
-// (int32), data are counts (int32).
-int64_t ircl_coo_dedup(const int64_t* rows, const int32_t* cols,
-                       const int32_t* data, int64_t n, int64_t* out_rows,
-                       int32_t* out_cols, int32_t* out_data) {
-  std::unordered_map<uint64_t, int32_t> acc;
-  acc.reserve(static_cast<size_t>(n));
-  for (int64_t i = 0; i < n; i++) {
-    // rows < 2^24 and cols < 2^31 fit together in 64 bits: key = row<<32 | col
-    uint64_t key = (static_cast<uint64_t>(rows[i]) << 32) |
-                   static_cast<uint32_t>(cols[i]);
-    acc[key] += data[i];
-  }
-  int64_t m = 0;
-  for (const auto& kv : acc) {
-    out_rows[m] = static_cast<int64_t>(kv.first >> 32);
-    out_cols[m] = static_cast<int32_t>(kv.first & 0xffffffffu);
-    out_data[m] = kv.second;
-    m++;
-  }
-  return m;
 }
 
 // Max total light postings over any query in the batch (pool sizing pass;
