@@ -75,8 +75,10 @@ class ContrastiveTrainer:
         # Embed one anchor sentence per document, in document order, so
         # emb2cluster[doc_idx] is well-defined. (The reference embeds both
         # random views of every item and indexes the stacked list by dataset
-        # idx — an index/embedding mismatch we do not reproduce.)
-        texts = [doc[0] for doc in self.sampler.docs]
+        # idx — an index/embedding mismatch we do not reproduce.) Docs with
+        # no sentences (kept in sampler.docs for index stability; never
+        # sampled) embed the empty string rather than crashing.
+        texts = [doc[0] if doc else "" for doc in self.sampler.docs]
         emb = embed_corpus(
             self.embed_fn, self.state.params_q, self.featurizer, texts
         )
@@ -121,6 +123,18 @@ class ContrastiveTrainer:
         total = total_steps or cfg.total_steps
         start = int(self.state.step)
         uses_proto = cfg.loss in ("ProtoNCE", "HProtoNCE")
+
+        # Resume: an uninterrupted Proto run past cluster_start_steps always
+        # has live prototypes, but a restart leaves cluster_result None until
+        # the next update boundary — up to cluster_update_steps-1 steps of
+        # silently proto-free training. Refresh immediately instead.
+        if (
+            uses_proto
+            and self.cluster_result is None
+            and start >= cfg.cluster_start_steps
+            and start % cfg.cluster_update_steps != 0  # loop refreshes then
+        ):
+            self._refresh_clusters()
 
         losses = []
         t0 = time.time()

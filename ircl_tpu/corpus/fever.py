@@ -20,7 +20,7 @@ import json
 import re
 import unicodedata
 from dataclasses import dataclass, field
-from typing import Dict, Iterable, Iterator, List, Optional
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 _ARTIFACTS = {"-LRB-", "-RRB-", "-LSB-", "-RSB-", "''", "``", "--"}
 
@@ -99,8 +99,15 @@ class Claim:
     id: int
     claim: str
     label: str
-    # doc_id (NFKD) -> list of gold sentence ids
+    # doc_id (NFKD) -> list of gold sentence ids (flattened across
+    # annotations, matching the reference's process_jsonl)
     evidences: Dict[str, List[int]] = field(default_factory=dict)
+    # Per-annotation structure [(doc_id NFKD, sent_id), ...] per annotation —
+    # needed for faithful "full"-mode recall (the flattening above cannot
+    # distinguish alternative annotations from multi-doc ones). None when the
+    # producer has no annotation structure (synthetic corpus): recall then
+    # conservatively treats ALL flattened evidence as one annotation.
+    evidence_sets: Optional[List[List[Tuple[str, int]]]] = None
 
 
 LABEL_MAP = {"SUPPORTS": 1, "REFUTES": 0}
@@ -126,17 +133,23 @@ def parse_claims_jsonl(
             if drop_nei and label == "NOT ENOUGH INFO":
                 continue
             evidences: Dict[str, List[int]] = {}
+            evidence_sets: List[List[Tuple[str, int]]] = []
             for evidence_set in dic.get("evidence", []):
+                ann: List[Tuple[str, int]] = []
                 for ev in evidence_set:
                     if ev[2] is not None:
                         doc_id = nfkd(ev[2])
                         evidences.setdefault(doc_id, []).append(ev[3])
+                        ann.append((doc_id, ev[3]))
+                if ann:
+                    evidence_sets.append(ann)
             claims.append(
                 Claim(
                     id=dic["id"],
                     claim=dic["claim"],
                     label=label,
                     evidences=evidences,
+                    evidence_sets=evidence_sets or None,
                 )
             )
     return claims

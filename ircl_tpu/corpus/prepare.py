@@ -77,7 +77,10 @@ def prepare_sentence_corpus(
     os.makedirs(os.path.dirname(os.path.abspath(out_pickle)), exist_ok=True)
     with open(out_pickle, "wb") as f:
         pickle.dump(docs, f)
-    with open(out_pickle.replace(".pkl", "_dict.pkl"), "wb") as f:
+    # splitext, not str.replace: a name without ".pkl" would make replace a
+    # no-op and silently overwrite the docs pickle just written above
+    stem, ext = os.path.splitext(out_pickle)
+    with open(f"{stem}_dict{ext or '.pkl'}", "wb") as f:
         pickle.dump(docs_dict, f)
     return docs, docs_dict
 

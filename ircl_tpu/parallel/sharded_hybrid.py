@@ -52,19 +52,11 @@ class ShardedHybridIndex:
         self.n_shards = n_shards
         self.num_real_docs = split.num_docs
 
-        terms_t = np.ascontiguousarray(split.heavy.terms.T)  # [K_h, N]
-        vals_t = np.ascontiguousarray(split.heavy.vals.T)
-        k_w, n = terms_t.shape
-        k_pad = -(-k_w // 8) * 8 - k_w
-        chunk = n_shards * 256
-        n_pad = -(-n // chunk) * chunk - n
-        terms_t = np.pad(terms_t, ((0, k_pad), (0, n_pad)), constant_values=-1)
-        vals_t = np.pad(vals_t, ((0, k_pad), (0, n_pad)), constant_values=0.0)
-        self.rows_per_shard = terms_t.shape[1] // n_shards
+        from ircl_tpu.parallel.common import pad_and_shard_ell_t
 
-        sharding = NamedSharding(mesh, P(None, axis))
-        self.terms_t = jax.device_put(terms_t, sharding)
-        self.vals_t = jax.device_put(vals_t, sharding)
+        self.terms_t, self.vals_t, self.rows_per_shard = pad_and_shard_ell_t(
+            split.heavy.terms, split.heavy.vals, mesh, axis
+        )
         self.interpret = (
             interpret if interpret is not None else jax.default_backend() == "cpu"
         )
@@ -141,12 +133,9 @@ class ShardedHybridIndex:
             bad = (i < 0) | (i >= local_real)
             s = jnp.where(bad, 0.0, s)
             gids = jnp.where(bad, -1, i + my * rows)
-            all_s = jax.lax.all_gather(s, axis, axis=0)
-            all_i = jax.lax.all_gather(gids, axis, axis=0)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], -1)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], -1)
-            ms, midx = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
-            mi = jnp.take_along_axis(all_i, midx, axis=1)
+            from ircl_tpu.parallel.common import gather_topk_merge
+
+            ms, mi = gather_topk_merge(s, gids, k, axis)
             empty = (ms <= 0.0) | (mi < 0)
             return jnp.where(empty, 0.0, ms), jnp.where(empty, -1, mi)
 

@@ -26,23 +26,11 @@ class ShardedEllIndex:
         self.mesh = mesh
         self.axis = axis
         self.num_real_docs = ell.num_docs
-        n_shards = mesh.shape[axis]
+        from ircl_tpu.parallel.common import pad_and_shard_ell_t
 
-        terms_t = np.ascontiguousarray(ell.terms.T)  # [K, N]
-        vals_t = np.ascontiguousarray(ell.vals.T)
-        k_w, n = terms_t.shape
-        # pad K to sublane multiple, N to (shards * 256) so every local shard
-        # is a multiple of the kernel's doc tile.
-        k_pad = -(-k_w // 8) * 8 - k_w
-        chunk = n_shards * 256
-        n_pad = -(-n // chunk) * chunk - n
-        terms_t = np.pad(terms_t, ((0, k_pad), (0, n_pad)), constant_values=-1)
-        vals_t = np.pad(vals_t, ((0, k_pad), (0, n_pad)), constant_values=0.0)
-
-        sharding = NamedSharding(mesh, P(None, axis))
-        self.terms_t = jax.device_put(terms_t, sharding)
-        self.vals_t = jax.device_put(vals_t, sharding)
-        self.rows_per_shard = terms_t.shape[1] // n_shards
+        self.terms_t, self.vals_t, self.rows_per_shard = pad_and_shard_ell_t(
+            ell.terms, ell.vals, mesh, axis
+        )
         self.interpret = (
             interpret
             if interpret is not None
@@ -79,12 +67,9 @@ class ShardedEllIndex:
             kk = min(k, rows)
             s, i = jax.lax.top_k(scores, kk)
             gids = i.astype(jnp.int32) + my * rows
-            all_s = jax.lax.all_gather(s, axis, axis=0)
-            all_i = jax.lax.all_gather(gids, axis, axis=0)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(s.shape[0], -1)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(s.shape[0], -1)
-            ms, midx = jax.lax.top_k(all_s, min(k, all_s.shape[1]))
-            mi = jnp.take_along_axis(all_i, midx, axis=1)
+            from ircl_tpu.parallel.common import gather_topk_merge
+
+            ms, mi = gather_topk_merge(s, gids, k, axis)
             empty = (ms <= 0.0) | (mi >= num_real)
             return jnp.where(empty, 0.0, ms), jnp.where(empty, -1, mi)
 

@@ -8,9 +8,12 @@ measurement path.
 Semantics: a claim counts as covered at k ("any" mode, the standard FEVER
 oracle-recall convention) if at least one gold evidence document (resp.
 (document, sentence) pair) appears in the top-k retrieved; "full" mode
-requires every doc of at least one complete evidence annotation. Doc ids are
-compared NFKD-normalized, matching the evidence normalization of the
-reference (``src/dataset.py:55``).
+requires at least one complete evidence annotation to be covered —
+per-annotation when ``Claim.evidence_sets`` carries the real annotation
+structure (``parse_claims_jsonl`` does), otherwise conservatively treating
+ALL flattened evidence as one annotation. Doc ids are compared
+NFKD-normalized, matching the evidence normalization of the reference
+(``src/dataset.py:55``).
 """
 
 from __future__ import annotations
@@ -18,6 +21,22 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 from ircl_tpu.corpus.fever import Claim, nfkd
+
+
+def _annotations(claim: Claim):
+    """Per-annotation (doc, sent_id) lists; single flattened annotation when
+    the producer carried no structure (see Claim.evidence_sets)."""
+    if claim.evidence_sets:
+        return [
+            [(nfkd(d), int(s)) for d, s in ann] for ann in claim.evidence_sets
+        ]
+    return [
+        [
+            (nfkd(d), int(s))
+            for d, sids in claim.evidences.items()
+            for s in sids
+        ]
+    ]
 
 
 def doc_recall_at_k(
@@ -45,7 +64,10 @@ def doc_recall_at_k(
             if gold & top_set:
                 hit += 1
         elif mode == "full":
-            if gold <= top_set:
+            # at least one annotation has ALL its docs retrieved
+            if any(
+                {d for d, _ in ann} <= top_set for ann in _annotations(claim)
+            ):
                 hit += 1
         else:
             raise ValueError(f"invalid mode: {mode}")
@@ -77,9 +99,12 @@ def sentence_recall_at_k(
             if gold & top:
                 hit += 1
         elif mode == "full":
+            # at least one annotation has ALL its (doc, sent) pairs
+            # retrieved (the previous per-doc approximation marked a
+            # multi-doc annotation covered from one doc alone)
             covered = any(
-                all((nfkd(d), int(s)) in top for s in sids)
-                for d, sids in claim.evidences.items()
+                all(pair in top for pair in ann)
+                for ann in _annotations(claim)
             )
             if covered:
                 hit += 1

@@ -19,6 +19,8 @@ from typing import Callable, Dict, List, Protocol, Sequence, Tuple
 
 import numpy as np
 
+from ircl_tpu.corpus.fever import nfkd as _nfkd
+from ircl_tpu.corpus.filters import normalize as _nfd
 from ircl_tpu.index.ranker import TfidfRanker
 
 
@@ -120,7 +122,15 @@ def retrieve(
     for ids in all_doc_ids:
         sents, keys = [], []
         for d in ids:
-            for si, s in enumerate(doc_sentences.get(d, [])):
+            # ranker ids are store (NFD) ids, but callers may pass a
+            # doc_sentences keyed differently — try both normalizations
+            d_sents = (
+                doc_sentences.get(d)
+                or doc_sentences.get(_nfkd(d))
+                or doc_sentences.get(_nfd(d))
+                or []
+            )
+            for si, s in enumerate(d_sents):
                 if s:
                     sents.append(s)
                     keys.append((d, si))

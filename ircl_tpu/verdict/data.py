@@ -14,7 +14,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ircl_tpu.corpus.fever import Claim, LABEL_MAP
+from ircl_tpu.corpus.fever import Claim, LABEL_MAP, nfkd
+from ircl_tpu.corpus.filters import normalize as _nfd
 from ircl_tpu.models.wordpiece import WordPieceTokenizer
 
 
@@ -46,7 +47,16 @@ def build_examples(
             ev = claim.evidences
         for doc_id, sent_ids in ev.items():
             parts.extend(doc_id.split("_"))
-            sents = doc_sentences.get(doc_id, [])
+            # evidence ids are NFKD (reference flattening) while sentence
+            # corpora key NFD store ids: try raw, then both normalizations
+            # (compatibility characters differ) — same defense as
+            # pipeline/intrinsic.py
+            sents = (
+                doc_sentences.get(doc_id)
+                or doc_sentences.get(nfkd(doc_id))
+                or doc_sentences.get(_nfd(doc_id))
+                or []
+            )
             for sid in sent_ids:
                 if 0 <= sid < len(sents):
                     parts.append(sents[sid])

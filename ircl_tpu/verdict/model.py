@@ -85,7 +85,10 @@ def make_verdict_optimizer(cfg: VerdictConfig) -> optax.GradientTransformation:
         ],
         [cfg.warmup_steps],
     )
-    return optax.adamw(schedule)
+    # weight_decay pinned explicitly (optax's default, relied on by the
+    # measured results) — the body-freeze logic must also suppress it, since
+    # decoupled decay updates params even under zero gradients
+    return optax.adamw(schedule, weight_decay=1e-4)
 
 
 def make_verdict_train_step(cfg: VerdictConfig):
@@ -110,6 +113,15 @@ def make_verdict_train_step(cfg: VerdictConfig):
                 body=jax.tree.map(lambda g: g * body_on, grads["body"]),
             )
         updates, opt_state = tx.update(grads, opt_state, params)
+        if cfg.freeze_body_until_warmup:
+            # zeroed grads alone do NOT freeze under AdamW: decoupled weight
+            # decay still shrinks the body every step (the reference's
+            # requires_grad=False body receives no updates at all) — zero
+            # the body UPDATES too while frozen
+            updates = dict(
+                updates,
+                body=jax.tree.map(lambda u: u * body_on, updates["body"]),
+            )
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, preds
 

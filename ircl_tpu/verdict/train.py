@@ -7,6 +7,7 @@ warmup schedule (in the optimizer, ``verdict/model.py``), shuffled epochs,
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -24,11 +25,18 @@ from ircl_tpu.verdict.model import (
 from ircl_tpu.utils.metrics import MetricsLogger
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _predict_batch(params, cfg, ids, mask, types):
+    return jnp.argmax(verdict_apply(params, cfg, ids, mask, types), axis=-1)
+
+
 def predict_in_batches(params, cfg, ids, mask, types, batch_size=32):
     preds = []
-    fn = jax.jit(
-        lambda p, i, m, t: jnp.argmax(verdict_apply(p, cfg, i, m, t), axis=-1)
-    )
+    # module-level jit (not a fresh jax.jit(lambda) per call): the trace
+    # cache then persists across epochs/variants — each re-trace costs a
+    # trip through the remote compile service. device_put params once:
+    # numpy param trees would otherwise re-ride the tunnel per batch.
+    params = jax.device_put(params)
     n = len(ids)
     pending = None  # 1-deep pipeline: host pad/encode overlaps device run
     for lo in range(0, n, batch_size):
@@ -38,7 +46,9 @@ def predict_in_batches(params, cfg, ids, mask, types, batch_size=32):
         i = np.pad(ids[sl], ((0, pad), (0, 0)))
         m = np.pad(mask[sl], ((0, pad), (0, 0)))
         t = np.pad(types[sl], ((0, pad), (0, 0)))
-        p_d = fn(params, jnp.asarray(i), jnp.asarray(m), jnp.asarray(t))
+        p_d = _predict_batch(
+            params, cfg, jnp.asarray(i), jnp.asarray(m), jnp.asarray(t)
+        )
         if pending is not None:
             preds.append(np.asarray(pending[0])[: pending[1]])
         pending = (p_d, hi - lo)
@@ -69,7 +79,11 @@ def train_verdict(
     rng = np.random.default_rng(seed)
     n = len(ids)
     order = rng.permutation(n)
-    n_val = max(1, int(n * val_fraction)) if n > 1 else 0
+    # val_fraction=0 genuinely disables validation (tiny golden-fixture
+    # runs need every example for training); otherwise at least 1 example
+    n_val = (
+        0 if val_fraction <= 0 or n <= 1 else max(1, int(n * val_fraction))
+    )
     val_idx, train_idx = order[:n_val], order[n_val:]
 
     params = (

@@ -79,3 +79,25 @@ def test_recall_metric_unit():
 
     sent_retrieved = [[("DocA", 2)], [("DocB", 0)], []]
     assert sentence_recall_at_k(claims, sent_retrieved, k=5) == 0.5
+
+
+def test_recall_full_mode_per_annotation():
+    from ircl_tpu.corpus.fever import Claim
+
+    # two ALTERNATIVE single-doc annotations: either alone covers
+    c = Claim(1, "c", "SUPPORTS", {"D1": [0], "D2": [0]},
+              evidence_sets=[[("D1", 0)], [("D2", 0)]])
+    assert doc_recall_at_k([c], [["D1"]], k=1, mode="full") == 1.0
+    # one MULTI-DOC annotation: a single doc does not cover
+    c2 = Claim(2, "c", "SUPPORTS", {"D1": [0], "D2": [0]},
+               evidence_sets=[[("D1", 0), ("D2", 0)]])
+    assert doc_recall_at_k([c2], [["D1"]], k=1, mode="full") == 0.0
+    assert doc_recall_at_k([c2], [["D1", "D2"]], k=2, mode="full") == 1.0
+    assert sentence_recall_at_k([c2], [[("D1", 0)]], k=5, mode="full") == 0.0
+    assert (
+        sentence_recall_at_k([c2], [[("D1", 0), ("D2", 0)]], k=5, mode="full")
+        == 1.0
+    )
+    # flattened-only producer: conservative single-annotation fallback
+    c3 = Claim(3, "c", "SUPPORTS", {"D1": [0], "D2": [0]})
+    assert sentence_recall_at_k([c3], [[("D1", 0)]], k=5, mode="full") == 0.0
