@@ -540,3 +540,35 @@ def test_window_bounds_match_brute_counts():
     ref_hi = counts[:, 1:].reshape(n_bt, b_tile, n_dt).max(1).T.reshape(-1)
     np.testing.assert_array_equal(np.asarray(lo), ref_lo)
     np.testing.assert_array_equal(np.asarray(hi), ref_hi)
+
+
+def test_run_totals_match_f64_segment_sums_fuzz():
+    """_run_totals (compensated dd-scan) vs numpy f64 per-run sums across
+    hostile magnitude mixes: relative error must stay f64-class (far below
+    f32 cumsum's ulp(prefix))."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops.hybrid import _run_totals
+
+    rng = np.random.default_rng(7)
+    B, P = 8, 1024
+    for trial in range(3):
+        docs = np.sort(rng.integers(0, 40, size=(B, P)), axis=1).astype(
+            np.int32
+        )
+        mags = 10.0 ** rng.uniform(-4, 4, size=(B, P))
+        vals = (mags * rng.uniform(0.5, 2.0, size=(B, P))).astype(np.float32)
+        is_end, tot = _run_totals(jnp.asarray(docs), jnp.asarray(vals))
+        is_end, tot = np.asarray(is_end), np.asarray(tot)
+        for b in range(B):
+            ref = {}
+            for d, v in zip(docs[b], vals[b].astype(np.float64)):
+                ref[int(d)] = ref.get(int(d), 0.0) + v
+            got = {
+                int(docs[b][p]): float(tot[b][p])
+                for p in range(P)
+                if is_end[b][p]
+            }
+            assert set(got) == set(ref)
+            for d in ref:
+                np.testing.assert_allclose(got[d], ref[d], rtol=1e-6)
