@@ -45,6 +45,16 @@ def _load(args):
     return load_config(args.config, overrides)
 
 
+def cmd_fetch(args):
+    """Download the FEVER release artifacts (reference fetch_data.py)."""
+    cfg = _load(args)
+    from ircl_tpu.corpus.fetch import fetch_all
+
+    paths = fetch_all(cfg.data.data_dir, force=args.force)
+    for name, path in paths.items():
+        print(f"{name} -> {path}")
+
+
 def cmd_prepare(args):
     cfg = _load(args)
     from ircl_tpu.corpus import prepare
@@ -344,6 +354,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="dotted config override, e.g. --set train.loss=ProtoNCE",
     )
     sub = p.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser("fetch")
+    f.add_argument("--force", action="store_true", help="re-download")
+    f.set_defaults(fn=cmd_fetch)
 
     sub.add_parser("prepare").set_defaults(fn=cmd_prepare)
     sub.add_parser("build-index").set_defaults(fn=cmd_build_index)
