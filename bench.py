@@ -34,6 +34,15 @@ def main():
     # the same session; sweep_df plateau 16-32). The autotuner's pick (16)
     # is inside the plateau's noise band.
     ap.add_argument("--df-threshold", type=int, default=24)
+    # batch-size A/B knob: the headline uses 2048; 4096 amortizes fixed
+    # per-dispatch cost against a larger heavy-term union (untested on
+    # hardware as of round 3 — the axon outage; default stays 2048)
+    ap.add_argument("--claims", type=int, default=2048)
+    ap.add_argument(
+        "--trace", type=str, default=None,
+        help="capture a jax.profiler trace of one steady-state round into "
+        "this dir (best-effort: tolerated to fail through the axon tunnel)",
+    )
     args = ap.parse_args()
 
     from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
@@ -57,7 +66,7 @@ def main():
     from ircl_tpu.index.tfidf import tfidf_transform
 
     NUM_DOCS = 50_000
-    NUM_CLAIMS = 2048
+    NUM_CLAIMS = args.claims
     HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
     K = 5
 
@@ -154,6 +163,19 @@ def main():
     # steady state), so a fixed small round count under-reports. Each round
     # ends with a real host transfer — block_until_ready alone can return
     # early through the tunnel.
+    if args.trace:
+        # One traced round (excluded from timing): device timeline for the
+        # hybrid pipeline. Profiling may be unsupported through the axon
+        # tunnel — a failure must not kill the judged bench.
+        try:
+            with _jax.profiler.trace(args.trace):
+                pending = [async_fn(claims, K) for _ in range(2)]
+                _jax.block_until_ready(pending)
+                np.asarray(jax.tree.leaves(pending[-1])[0])
+            log(f"profiler trace written to {args.trace}")
+        except Exception as e:  # noqa: BLE001
+            log(f"profiler trace failed (ignored): {e!r}")
+
     tpu_qps = 0.0
     rounds = []
     for r in range(16):

@@ -254,10 +254,13 @@ class CoreNLPTokenizer:
 
     def _read_json(self) -> dict:
         """Read one JSON object from the pipeline's stdout, skipping the
-        banner/prompt noise CoreNLP interleaves (brace-balanced scan)."""
+        banner/prompt noise CoreNLP interleaves. Brace-balanced scan that
+        is string-aware: braces inside JSON string values (tokenized text
+        can itself contain ``{``/``}``) must not affect the depth count."""
         import json
 
         buf, depth, started = [], 0, False
+        in_str = escaped = False
         while True:
             ch = self._proc.stdout.read(1)
             if ch == "":
@@ -268,7 +271,16 @@ class CoreNLPTokenizer:
                 else:
                     continue
             buf.append(ch)
-            if ch == "{":
+            if in_str:
+                if escaped:
+                    escaped = False
+                elif ch == "\\":
+                    escaped = True
+                elif ch == '"':
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "{":
                 depth += 1
             elif ch == "}":
                 depth -= 1

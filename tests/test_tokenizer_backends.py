@@ -123,6 +123,9 @@ def test_corenlp_protocol_and_mapping():
         assert t.entities() == ["PERSON", "", "PERSON"]
         # a second call reuses the live subprocess
         assert tok.tokenize("x y").words() == ["x", "y"]
+        # braces inside tokenized text land in JSON string values and must
+        # not confuse the brace-balanced reader
+        assert tok.tokenize("a { b } c").words() == ["a", "{", "b", "}", "c"]
     finally:
         tok.close()
 
