@@ -38,6 +38,12 @@ def main():
     # per-dispatch cost against a larger heavy-term union (untested on
     # hardware as of round 3 — the axon outage; default stays 2048)
     ap.add_argument("--claims", type=int, default=2048)
+    # union-width A/B knob: pow2 padding (None, default) vs ceil to a
+    # 512-multiple — the bench batch's live union is ~4100 slots, which
+    # pow2 pads to 8192 (2x the heavy contraction for ~55% sentinel work;
+    # docs/DESIGN.md speed-of-light section). Untested on hardware as of
+    # the round-3 axon outage.
+    ap.add_argument("--union-round", type=int, default=None)
     ap.add_argument(
         "--trace", type=str, default=None,
         help="capture a jax.profiler trace of one steady-state round into "
@@ -119,6 +125,7 @@ def main():
         # gate below; the f32(6-pass) "highest" tier costs 2x on the MXU.
         precision="high",
         d_tile=args.d_tile,
+        union_round=args.union_round,
     )
     # warmup / compile
     t0 = time.time()

@@ -188,7 +188,23 @@ class TfidfRanker:
         d_tile: Optional[int] = None,  # doc-axis slab tile; None resolves to
         #   512 past the fused gate (slab time -25% at 1M, measured) and 256
         #   below it (best at the 50K fused config)
+        union_round: Optional[int] = None,  # None: pow2 union padding (few
+        #   compile-cache keys — the default). An int (multiple of 512, the
+        #   slab u-tile): ceil the batch union to that multiple instead —
+        #   a union just past a pow2 boundary then stops doubling the heavy
+        #   contraction (e.g. 4100 live slots pad to 4608, not 8192; up to
+        #   ~2x less slab+matmul work) at the cost of more distinct widths
+        #   across batches, each a one-time compile. Best with pinned
+        #   serving shapes where the width is stable anyway.
     ):
+        if union_round is not None and (
+            union_round <= 0 or union_round % 512
+        ):
+            raise ValueError(
+                f"union_round must be a positive multiple of 512 (the slab "
+                f"u-tile), got {union_round}"
+            )
+        self.union_round = union_round
         self.precision = precision
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
@@ -315,7 +331,14 @@ class TfidfRanker:
         power-of-two width (static-shape bucketing)."""
         nz = weights != 0.0
         u = np.unique(buckets[nz]) if nz.any() else np.empty(0, np.int64)
-        u_cap = self._pow2(max(len(u), 1), floor=floor)
+        if self.union_round is not None:
+            # ceil(max(live, floor)) to a multiple of union_round — the
+            # floor itself is rounded too so a non-multiple fixed_union_cap
+            # can't produce a width the u-tiled kernels reject
+            r = self.union_round
+            u_cap = -(-max(len(u), floor, 1) // r) * r
+        else:
+            u_cap = self._pow2(max(len(u), 1), floor=floor)
         sentinel = np.int32(min(self.dev.hash_size, 2**31 - 1))
         u_pad = np.full(u_cap, sentinel, dtype=np.int32)
         u_pad[: len(u)] = u.astype(np.int32)

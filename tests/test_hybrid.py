@@ -572,3 +572,39 @@ def test_run_totals_match_f64_segment_sums_fuzz():
             assert set(got) == set(ref)
             for d in ref:
                 np.testing.assert_allclose(got[d], ref[d], rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["ell", "hybrid"])
+def test_union_round_parity(setup, mode):
+    """union_round=512 (ceil-to-multiple padding instead of pow2) must be
+    score- and set-identical to the default padding on both slab engines,
+    and the resulting width must satisfy the kernels' u-tiling."""
+    index, claims = setup
+    ref = TfidfRanker(index, mode=mode, df_threshold=8, precision="highest")
+    rnd = TfidfRanker(
+        index, mode=mode, df_threshold=8, precision="highest",
+        union_round=512,
+    )
+    # padded width: multiple of 512, and never wider than pow2's choice
+    buckets, weights = rnd._vectorize(claims)
+    u_pad = rnd._union_slots(buckets, weights, floor=512)
+    assert len(u_pad) % 512 == 0
+    assert len(u_pad) <= len(ref._union_slots(buckets, weights, floor=512))
+    got_ref = ref.closest_docs_batch(claims, k=5)
+    got_rnd = rnd.closest_docs_batch(claims, k=5)
+    for (ids_r, sc_r), (ids_n, sc_n) in zip(got_ref, got_rnd):
+        np.testing.assert_allclose(sc_n, sc_r, rtol=1e-6, atol=1e-7)
+        cut = float(np.min(sc_r)) * (1 + 1e-4) + 1e-4
+        assert {d for d, s in zip(ids_n, sc_n) if s > cut} == {
+            d for d, s in zip(ids_r, sc_r) if s > cut
+        }
+
+
+def test_union_round_validation():
+    wiki = generate(num_docs=20, num_claims=2, seed=3)
+    store = MemoryDocStore({d: r["text"] for d, r in wiki.docs.items()})
+    index = tfidf_transform(
+        build_count_index(store, ngram=2, hash_size=HASH_SIZE)
+    )
+    with pytest.raises(ValueError, match="multiple of 512"):
+        TfidfRanker(index, union_round=100)
