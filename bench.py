@@ -39,10 +39,10 @@ def main():
     # hardware as of round 3 — the axon outage; default stays 2048)
     ap.add_argument("--claims", type=int, default=2048)
     # union-width A/B knob: pow2 padding (None, default) vs ceil to a
-    # 512-multiple — the bench batch's live union is ~4100 slots, which
-    # pow2 pads to 8192 (2x the heavy contraction for ~55% sentinel work;
-    # docs/DESIGN.md speed-of-light section). Untested on hardware as of
-    # the round-3 axon outage.
+    # 512-multiple — the bench batch's live heavy union is 5530 slots at
+    # df=24, which pow2 pads to 8192 (31% sentinel work in the heavy
+    # contraction; round512 pads to 5632 — docs/DESIGN.md speed-of-light
+    # section). Untested on hardware as of the round-3 axon outage.
     ap.add_argument("--union-round", type=int, default=None)
     ap.add_argument(
         "--trace", type=str, default=None,
