@@ -301,3 +301,45 @@ def test_sharded_topk_negative_cosines_with_padding():
         assert (i[b] >= 0).all() and (i[b] < 13).all(), i[b]
         np.testing.assert_allclose(s[b], ref[b][order], rtol=1e-5)
         assert set(i[b].tolist()) == set(order.tolist())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cosine_topk_fused_config_fuzz(seed):
+    """Random (M, m_tile, chunk, epilogue, k) configs vs numpy: the fold
+    chunk->row mapping, tail-tile masking, and pad handling must hold for
+    any power-of-two chunk dividing m_tile, any m_real (pads included),
+    and k near the chunk count."""
+    from ircl_tpu.ops.dense_topk_pallas import cosine_topk_fused, pad_corpus_t
+
+    rng = np.random.default_rng(100 + seed)
+    for _ in range(6):
+        B = int(rng.integers(2, 9))
+        D = int(rng.choice([8, 16, 32]))
+        M = int(rng.integers(40, 400))
+        m_tile = int(rng.choice([64, 128, 256]))
+        chunk = int(rng.choice([8, 16, 32]))
+        if chunk > m_tile:
+            chunk = m_tile
+        k = int(rng.integers(1, 6))
+        epi = str(rng.choice(["loop", "fold"]))
+        Q = _norm(rng.normal(size=(B, D))).astype(np.float32)
+        C = _norm(rng.normal(size=(M, D))).astype(np.float32)
+        ref = Q @ C.T
+        ct, m_real = pad_corpus_t(C, m_tile=m_tile)
+        s, i = cosine_topk_fused(
+            jnp.asarray(Q), jnp.asarray(ct), k=k, chunk=chunk,
+            m_tile=m_tile, m_real=m_real, epilogue=epi, interpret=True,
+        )
+        s, i = np.asarray(s), np.asarray(i)
+        cfg = f"B={B} D={D} M={M} mt={m_tile} ch={chunk} k={k} {epi}"
+        for b in range(B):
+            order = np.argsort(-ref[b], kind="stable")[:k]
+            np.testing.assert_allclose(
+                s[b], np.sort(ref[b])[::-1][:k], rtol=1e-5, atol=1e-6,
+                err_msg=cfg,
+            )
+            # id sets must agree above the tie cut
+            cut = ref[b][order[-1]] - 1e-6
+            got = {int(x) for x, v in zip(i[b], s[b]) if v > cut}
+            want = {int(x) for x in order if ref[b][x] > cut}
+            assert got == want, (cfg, b)
