@@ -54,3 +54,48 @@ def test_chunked_matches_single_ranker(setup, chunk_docs):
         want = {d for d, s in zip(ids_r, sc_r) if s > cut}
         got = {d for d, s in zip(ids_c, sc_c) if s > cut}
         assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chunked_fuzz_random_boundaries(seed):
+    """Random corpus sizes x random chunk widths (including a last chunk of
+    width 1 and chunk_docs > num_docs) stay parity-exact vs the single
+    ragged ranker, with random df thresholds and k."""
+    import numpy as np
+    from ircl_tpu.corpus.store import MemoryDocStore
+    from ircl_tpu.corpus.synthetic import generate
+    from ircl_tpu.index.build import build_count_index
+    from ircl_tpu.index.tfidf import tfidf_transform
+
+    rng = np.random.default_rng(40 + seed)
+    for _ in range(3):
+        n = int(rng.integers(30, 260))
+        wiki = generate(num_docs=n, num_claims=12, seed=int(rng.integers(1e6)))
+        store = MemoryDocStore({d: r["text"] for d, r in wiki.docs.items()})
+        index = tfidf_transform(
+            build_count_index(store, ngram=2, hash_size=1 << 18)
+        )
+        claims = [c.claim for c in wiki.claims]
+        k = int(rng.integers(1, 7))
+        # bias toward awkward boundaries: n-1 gives a width-1 last chunk,
+        # n+5 a single chunk wider than the corpus
+        chunk_docs = int(rng.choice([n - 1, n + 5, rng.integers(7, n + 1)]))
+        df = int(rng.integers(2, 24))
+        ref = TfidfRanker(index, mode="ragged")
+        chunked = ChunkedHybridRanker(
+            index, chunk_docs=chunk_docs, df_threshold=df
+        )
+        got_r = ref.closest_docs_batch(claims, k=k)
+        got_c = chunked.closest_docs_batch(claims, k=k)
+        cfg = f"seed={seed} n={n} chunk={chunk_docs} df={df} k={k}"
+        for (ids_r, sc_r), (ids_c, sc_c) in zip(got_r, got_c):
+            assert len(sc_c) == len(sc_r), cfg
+            np.testing.assert_allclose(
+                np.sort(sc_c), np.sort(sc_r), rtol=1e-5, atol=1e-6,
+                err_msg=cfg,
+            )
+            if len(sc_r):
+                cut = float(np.min(sc_r)) * (1 + 1e-4) + 1e-4
+                want = {d for d, s in zip(ids_r, sc_r) if s > cut}
+                got = {d for d, s in zip(ids_c, sc_c) if s > cut}
+                assert got == want, cfg
