@@ -188,6 +188,10 @@ class TfidfRanker:
         d_tile: Optional[int] = None,  # doc-axis slab tile; None resolves to
         #   512 past the fused gate (slab time -25% at 1M, measured) and 256
         #   below it (best at the 50K fused config)
+        split=None,  # prebuilt SplitIndex (index/split.py::load_split) —
+        #   serving cold-start skips the 15-26s (at 1M docs) df-split
+        #   rebuild; must match the index (num_docs/hash_size checked) and
+        #   overrides df_threshold with the split's own
         union_round: Optional[int] = None,  # None: pow2 union padding (few
         #   compile-cache keys — the default). An int (multiple of 512, the
         #   slab u-tile): ceil the batch union to that multiple instead —
@@ -240,7 +244,18 @@ class TfidfRanker:
             from ircl_tpu.index.split import bucket_heavy, split_index
             from ircl_tpu.ops.membership_pallas import pad_for_slab
 
-            if df_threshold == "auto":
+            if split is not None:
+                if (
+                    split.num_docs != index.num_docs
+                    or split.hash_size != index.hash_size
+                ):
+                    raise ValueError(
+                        f"prebuilt split does not match the index: "
+                        f"docs {split.num_docs} vs {index.num_docs}, "
+                        f"hash {split.hash_size} vs {index.hash_size}"
+                    )
+                df_threshold = split.df_threshold
+            elif df_threshold == "auto":
                 from ircl_tpu.index.autotune import auto_df_threshold
 
                 kw = dict(
@@ -251,7 +266,11 @@ class TfidfRanker:
                 kw.update(autotune_profile or {})
                 df_threshold = auto_df_threshold(index, **kw)
             self.df_threshold = df_threshold
-            self._split = split_index(index, df_threshold=df_threshold)
+            self._split = (
+                split
+                if split is not None
+                else split_index(index, df_threshold=df_threshold)
+            )
             put = lambda x: jax.device_put(x, device)
             if width_buckets == 2:
                 # lcm(d_tile, 256): the fused light path tiles at 256. The

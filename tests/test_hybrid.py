@@ -608,3 +608,43 @@ def test_union_round_validation():
     )
     with pytest.raises(ValueError, match="multiple of 512"):
         TfidfRanker(index, union_round=100)
+
+
+def test_split_save_load_roundtrip_and_ranker_injection(setup, tmp_path):
+    """save_split/load_split roundtrip bit-exactly; a ranker built from the
+    loaded split matches one that rebuilt the split, and a mismatched split
+    is rejected."""
+    from ircl_tpu.index.split import load_split, save_split
+
+    index, claims = setup
+    split = split_index(index, df_threshold=8)
+    p = str(tmp_path / "split.npz")
+    save_split(split, p)
+    loaded = load_split(p)
+    np.testing.assert_array_equal(loaded.heavy.terms, split.heavy.terms)
+    np.testing.assert_array_equal(loaded.heavy.vals, split.heavy.vals)
+    np.testing.assert_array_equal(loaded.light_indptr, split.light_indptr)
+    np.testing.assert_array_equal(loaded.light_docs, split.light_docs)
+    np.testing.assert_array_equal(loaded.light_vals, split.light_vals)
+    np.testing.assert_array_equal(loaded.doc_freqs, split.doc_freqs)
+    assert (loaded.df_threshold, loaded.num_docs, loaded.hash_size) == (
+        split.df_threshold, split.num_docs, split.hash_size,
+    )
+
+    built = TfidfRanker(index, mode="hybrid", df_threshold=8)
+    injected = TfidfRanker(index, mode="hybrid", split=loaded)
+    assert injected.df_threshold == 8  # taken from the split
+    got_b = built.closest_docs_batch(claims, k=5)
+    got_i = injected.closest_docs_batch(claims, k=5)
+    for (ids_b, sc_b), (ids_i, sc_i) in zip(got_b, got_i):
+        assert ids_b == ids_i
+        np.testing.assert_array_equal(sc_b, sc_i)
+
+    # mismatched split refused
+    wiki2 = generate(num_docs=60, num_claims=2, seed=77)
+    store2 = MemoryDocStore({d: r["text"] for d, r in wiki2.docs.items()})
+    index2 = tfidf_transform(
+        build_count_index(store2, ngram=2, hash_size=HASH_SIZE)
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        TfidfRanker(index2, mode="hybrid", split=loaded)
