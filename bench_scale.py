@@ -65,6 +65,12 @@ def main(argv=None):
         help="doc-range chunk size when docs exceed one staged pass",
     )
     ap.add_argument(
+        "--split-cache", type=str, default=None,
+        help="chunked path only: dir of per-chunk split artifacts "
+        "(load-or-build-and-save) — repeated big-corpus runs skip the "
+        "chunk re-splits",
+    )
+    ap.add_argument(
         "--parity-queries", type=int, default=256,
         help="queries checked against the scipy reference (capped at "
         "--batch; 32 are also used to time the CPU baseline)",
@@ -94,7 +100,9 @@ def main(argv=None):
     VOCAB = args.vocab
     HASH_SIZE = 1 << 24
     B, K = args.batch, 5
-    chunked = NUM_DOCS > 1_500_000
+    # chunk when the corpus exceeds one staged pass's HBM budget (~1.5M
+    # docs at B=1024) OR the user asked for smaller chunks explicitly
+    chunked = NUM_DOCS > min(1_500_000, args.chunk_docs)
 
     import os
 
@@ -150,7 +158,7 @@ def main(argv=None):
         ranker = ChunkedHybridRanker(
             index, chunk_docs=args.chunk_docs, df_threshold=256,
             width_buckets=2, precision="high", fixed_max_terms=24,
-            d_tile=512,
+            d_tile=512, split_cache_dir=args.split_cache,
         )
         log(
             f"chunked device index built in {time.time()-t0:.0f}s "

@@ -138,6 +138,9 @@ class ChunkedHybridRanker:
         self,
         index: CountIndex,
         chunk_docs: int = 1_000_000,
+        split_cache_dir: str = None,  # dir of per-chunk split artifacts
+        #   (chunk_<lo>_<hi>.npz): load when present, build-and-save when
+        #   not — serving cold-start at 5.4M docs skips 6 chunk re-splits
         **ranker_kwargs,
     ):
         from ircl_tpu.index.ranker import TfidfRanker
@@ -161,12 +164,47 @@ class ChunkedHybridRanker:
             hi = min(lo + chunk_docs, index.num_docs)
             sub = slice_doc_range(index, lo, hi)
             self.offsets.append(lo)
+            kw = dict(ranker_kwargs)
+            if split_cache_dir is not None:
+                kw["split"] = self._cached_split(
+                    split_cache_dir, sub, lo, hi, ranker_kwargs
+                )
             self.chunks.append(
                 TfidfRanker(
                     sub, mode="hybrid", fixed_max_terms=self._max_terms,
-                    **ranker_kwargs,
+                    **kw,
                 )
             )
+
+    @staticmethod
+    def _cached_split(cache_dir, sub, lo, hi, ranker_kwargs):
+        """Load the chunk's split artifact, or build and persist it. The
+        requested df_threshold must match a cached artifact's (an "auto"
+        request accepts whatever the cache holds — it was autotuned or
+        chosen at save time)."""
+        import os
+
+        from ircl_tpu.index.split import load_split, save_split, split_index
+
+        os.makedirs(cache_dir, exist_ok=True)
+        path = os.path.join(cache_dir, f"chunk_{lo}_{hi}.npz")
+        want_df = ranker_kwargs.get("df_threshold", "auto")
+        if os.path.exists(path):
+            split = load_split(path)
+            if want_df != "auto" and split.df_threshold != want_df:
+                raise ValueError(
+                    f"{path}: cached df_threshold {split.df_threshold} != "
+                    f"requested {want_df} — delete the cache or match it"
+                )
+            return split
+        df = want_df
+        if df == "auto":
+            from ircl_tpu.index.autotune import auto_df_threshold
+
+            df = auto_df_threshold(sub)
+        split = split_index(sub, df_threshold=df)
+        save_split(split, path)
+        return split
 
     def _vectorize(self, queries: Sequence[str]):
         from ircl_tpu.index.ranker import vectorize_queries

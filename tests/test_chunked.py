@@ -99,3 +99,32 @@ def test_chunked_fuzz_random_boundaries(seed):
                 want = {d for d, s in zip(ids_r, sc_r) if s > cut}
                 got = {d for d, s in zip(ids_c, sc_c) if s > cut}
                 assert got == want, cfg
+
+
+def test_chunked_split_cache_roundtrip(setup, tmp_path):
+    """split_cache_dir: first construction persists per-chunk artifacts,
+    a second construction loads them (bit-identical results), a df
+    mismatch is rejected."""
+    index, claims = setup
+    cache = str(tmp_path / "splits")
+    a = ChunkedHybridRanker(
+        index, chunk_docs=120, df_threshold=8, split_cache_dir=cache
+    )
+    import os
+
+    files = sorted(os.listdir(cache))
+    assert files == [
+        "chunk_0_120.npz", "chunk_120_240.npz", "chunk_240_300.npz"
+    ]
+    b = ChunkedHybridRanker(
+        index, chunk_docs=120, df_threshold=8, split_cache_dir=cache
+    )
+    got_a = a.closest_docs_batch(claims, k=5)
+    got_b = b.closest_docs_batch(claims, k=5)
+    for (ia, sa), (ib, sb) in zip(got_a, got_b):
+        assert ia == ib
+        np.testing.assert_array_equal(sa, sb)
+    with pytest.raises(ValueError, match="df_threshold"):
+        ChunkedHybridRanker(
+            index, chunk_docs=120, df_threshold=16, split_cache_dir=cache
+        )
