@@ -116,6 +116,8 @@ def auto_df_threshold(
     r_mm: float = R_MM,
     ns_light: float = NS_LIGHT,
     union_floor: int = 512,
+    union_round: Optional[int] = None,  # mirror TfidfRanker(union_round=...):
+    #   ceil-to-multiple union padding instead of pow2
     pool_floor: int = 128,
     return_costs: bool = False,
 ):
@@ -176,7 +178,10 @@ def auto_df_threshold(
 
         heavy_q = (df[qb] > t) & live
         u = len(np.unique(qb[heavy_q])) if heavy_q.any() else 0
-        u_pad = _pow2(max(u, 1), union_floor)
+        if union_round is not None:
+            u_pad = -(-max(u, union_floor, 1) // union_round) * union_round
+        else:
+            u_pad = _pow2(max(u, 1), union_floor)
 
         pool = np.where(live & ~(df[qb] > t), df[qb], 0).sum(axis=1)
         p_pad = _pow2(max(int(pool.max(initial=0)), 1), pool_floor)

@@ -262,6 +262,7 @@ class TfidfRanker:
                     max_terms=fixed_max_terms or 24,
                     # mirror the serving pads (autotune's contract)
                     union_floor=fixed_union_cap or 512,
+                    union_round=union_round,
                 )
                 kw.update(autotune_profile or {})
                 df_threshold = auto_df_threshold(index, **kw)
