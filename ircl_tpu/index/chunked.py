@@ -167,7 +167,8 @@ class ChunkedHybridRanker:
             kw = dict(ranker_kwargs)
             if split_cache_dir is not None:
                 kw["split"] = self._cached_split(
-                    split_cache_dir, sub, lo, hi, ranker_kwargs
+                    split_cache_dir, sub, lo, hi, ranker_kwargs,
+                    self._max_terms,
                 )
             self.chunks.append(
                 TfidfRanker(
@@ -177,7 +178,7 @@ class ChunkedHybridRanker:
             )
 
     @staticmethod
-    def _cached_split(cache_dir, sub, lo, hi, ranker_kwargs):
+    def _cached_split(cache_dir, sub, lo, hi, ranker_kwargs, max_terms):
         """Load the chunk's split artifact, or build and persist it. The
         requested df_threshold must match a cached artifact's (an "auto"
         request accepts whatever the cache holds — it was autotuned or
@@ -201,7 +202,13 @@ class ChunkedHybridRanker:
         if df == "auto":
             from ircl_tpu.index.autotune import auto_df_threshold
 
-            df = auto_df_threshold(sub)
+            # mirror TfidfRanker's auto contract (same pads/term cap)
+            df = auto_df_threshold(
+                sub,
+                max_terms=max_terms or 24,
+                union_floor=ranker_kwargs.get("fixed_union_cap") or 512,
+                union_round=ranker_kwargs.get("union_round"),
+            )
         split = split_index(sub, df_threshold=df)
         save_split(split, path)
         return split
