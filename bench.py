@@ -34,16 +34,17 @@ def main():
     # the same session; sweep_df plateau 16-32). The autotuner's pick (16)
     # is inside the plateau's noise band.
     ap.add_argument("--df-threshold", type=int, default=24)
-    # batch-size A/B knob: the headline uses 2048; 4096 amortizes fixed
-    # per-dispatch cost against a larger heavy-term union (untested on
-    # hardware as of round 3 — the axon outage; default stays 2048)
-    ap.add_argument("--claims", type=int, default=2048)
-    # union-width A/B knob: pow2 padding (None, default) vs ceil to a
-    # 512-multiple — the bench batch's live heavy union is 5530 slots at
-    # df=24, which pow2 pads to 8192 (31% sentinel work in the heavy
-    # contraction; round512 pads to 5632 — docs/DESIGN.md speed-of-light
-    # section). Untested on hardware as of the round-3 axon outage.
-    ap.add_argument("--union-round", type=int, default=None)
+    # batch-size knob. Hardware A/B (round 3, post-outage, alternating):
+    # 4096 amortizes fixed per-dispatch cost past the union growth —
+    # 24.2-24.6K q/s across 4 runs vs 21.0-21.2K at 2048 (same session);
+    # 8192 regresses (~23.7K, bigger union + 6.5min compile). Default 4096.
+    ap.add_argument("--claims", type=int, default=4096)
+    # union-width knob: pow2 padding (None) vs ceil to a 512-multiple.
+    # Hardware A/B (round 3, alternating): at B=2048 round512 is +12.5%
+    # (23.8K vs 21.0K — live union 5530 pads to 5632 instead of 8192); at
+    # B=4096 it is noise-neutral (24.4-24.6K both arms) but never does
+    # more heavy work than pow2, so it stays the default.
+    ap.add_argument("--union-round", type=int, default=512)
     ap.add_argument(
         "--trace", type=str, default=None,
         help="capture a jax.profiler trace of one steady-state round into "
