@@ -327,6 +327,12 @@ def main():
         # top-3 sentences of the same retrieval (recall@3 == recall@5 here):
         # fewer hard negatives in the window, same evidence coverage
         "tfidf_retrieval_k3": [sents[:3] for sents in retrieved],
+        # top-1: recall@1 is 0.995 on this corpus, so the evidence window is
+        # the gold sentence 99.5% of the time in the gold TRAIN format
+        # (1 title + 1 sentence) — isolates how much of the remaining
+        # k3/k5 gap is the multi-sentence eval-format shift + val trap
+        # rather than retrieval quality
+        "tfidf_retrieval_k1": [sents[:1] for sents in retrieved],
         "claim_only": [[] for _ in dev_claims],
         "random_evidence": random_override(),
     }
