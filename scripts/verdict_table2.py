@@ -71,6 +71,13 @@ def main():
     # random-init 2L transformer regardless of the training distribution.
     # Kept as an experiment flag; default off (the v9 configuration).
     ap.add_argument("--phase-c-trap", type=float, default=0.0)
+    # Curriculum restarts: the random-init comparison task is run-to-run
+    # unstable ACROSS SEEDS (documented above: phase A 0.92 vs 0.65; phase
+    # B/C plateaus measured 0.74-0.85 for identical configs) — standard
+    # val-based model selection: train the full curriculum N times with
+    # different seeds, keep the params with the best final-phase val F1,
+    # evaluate the dev table once on those.
+    ap.add_argument("--restarts", type=int, default=3)
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
 
@@ -149,7 +156,7 @@ def main():
                 _val_inv.setdefault(_v, []).append((_d, _si))
 
     def build_aug(same_doc_frac: float, seed: int, fixed_n: bool = False,
-                  refute_val_trap: float = 0.0):
+                  refute_val_trap: float = 0.0, gold_frac: float = 0.0):
         """Gold evidence + distractor sentences.
 
         ``refute_val_trap``: probability that a REFUTES claim's evidence
@@ -161,18 +168,25 @@ def main():
         trained without the trap learns "claim val present => SUPPORTS"
         and that shortcut misfires on 3/4 of retrieved REFUTES claims.
         ``fixed_n`` pins the distractor count to the serving format's
-        (k_sents - 1)."""
+        (k_sents - 1). ``gold_frac``: probability an example keeps the
+        PURE GOLD format (zero distractors) regardless of ``fixed_n`` —
+        replay against catastrophic forgetting: the dev table's
+        ground_truth/k1 rows are 1-title+1-sentence, and a phase trained
+        (and best-val-selected) only on the 4-distractor format drifts
+        off it (measured: gold ceiling 0.904 -> 0.80 across 3 seeds when
+        phase C is pure fixed_n)."""
         rng_t = np.random.default_rng(seed)
         all_ids = list(doc_sents.keys())
         override = []
         for c in train_claims:
             gold = [(d, s) for d, ss in c.evidences.items() for s in ss]
             gold_doc = gold[0][0]
-            n_d = (
-                args.train_distractors
-                if fixed_n
-                else int(rng_t.integers(0, args.train_distractors + 1))
-            )
+            if gold_frac > 0.0 and rng_t.random() < gold_frac:
+                n_d = 0
+            elif fixed_n:
+                n_d = args.train_distractors
+            else:
+                n_d = int(rng_t.integers(0, args.train_distractors + 1))
             picks = []
             if (
                 refute_val_trap > 0.0
@@ -221,6 +235,7 @@ def main():
                 build_aug(
                     0.5, 13, fixed_n=True,
                     refute_val_trap=args.phase_c_trap,
+                    gold_frac=0.25,
                 ),
                 max(args.epochs // 2, 1),
                 None,
@@ -253,26 +268,51 @@ def main():
     t0 = time.time()
     import dataclasses
 
-    params, history = None, []
-    for ex, n_ep, target, lr, keep_best in phases:
-        ids, mask, types, labels = encode_examples(ex, tok, args.max_length)
-        cfg_p = dataclasses.replace(vcfg, learning_rate=lr)
-        params, hist = train_verdict(
-            cfg_p, ids, mask, types, labels,
-            epochs=n_ep, batch_size=32, val_fraction=0.05,
-            init_params=params, stop_at_val_f1=target,
-            keep_best=keep_best,
+    # Pre-encode each phase's examples once; restarts reuse them.
+    encoded = [
+        (encode_examples(ex, tok, args.max_length), n_ep, target, lr, kb)
+        for ex, n_ep, target, lr, kb in phases
+    ]
+
+    def run_curriculum(seed):
+        params, history = None, []
+        for (ids, mask, types, labels), n_ep, target, lr, keep_best in (
+            encoded
+        ):
+            cfg_p = dataclasses.replace(vcfg, learning_rate=lr)
+            params, hist = train_verdict(
+                cfg_p, ids, mask, types, labels,
+                epochs=n_ep, batch_size=32, val_fraction=0.05,
+                init_params=params, stop_at_val_f1=target,
+                keep_best=keep_best, seed=seed,
+            )
+            history = history + hist
+        # Val F1 of the params this restart returns: with keep_best the
+        # last phase returns its BEST epoch's params (max over its
+        # history); without it, the LAST epoch's.
+        final = (
+            max((h["val_macro_f1"] or 0.0) for h in hist)
+            if keep_best
+            else (hist[-1]["val_macro_f1"] or 0.0)
         )
-        history = history + hist
+        return params, history, final
+
+    best = None
+    restart_vals = []
+    for r in range(max(args.restarts, 1)):
+        seed = 1009 + 101 * r  # reference QA seed + offsets
+        params_r, history_r, final_r = run_curriculum(seed)
+        restart_vals.append(round(final_r, 4))
+        print(
+            f"restart {r} (seed {seed}): final val F1 {final_r:.4f}",
+            file=sys.stderr, flush=True,
+        )
+        if best is None or final_r > best[2]:
+            best = (params_r, history_r, final_r)
+    params, history, _ = best
     res["train_s"] = round(time.time() - t0, 1)
-    # Report the val F1 of the params actually evaluated: with keep_best
-    # the last phase returns its BEST epoch's params (max over its history);
-    # without it (e.g. --train-distractors 0) they are the LAST epoch's.
-    res["final_val_macro_f1"] = (
-        max((h["val_macro_f1"] or 0.0) for h in hist)
-        if keep_best
-        else (hist[-1]["val_macro_f1"] or 0.0)
-    )
+    res["restart_val_f1s"] = restart_vals
+    res["final_val_macro_f1"] = best[2]
     log_hist = [
         (h["epoch"], round(h["train_loss"], 4), round(h["val_macro_f1"] or 0, 3))
         for h in history
@@ -364,7 +404,9 @@ def main():
         f"verdict transformer ({args.layers}L/{args.hidden}h, len "
         f"{args.max_length}) trained {args.epochs} epochs on gold evidence "
         f"(+ up to {args.train_distractors} format distractors, "
-        f"{res['train_s']}s), evaluated on {len(dev_claims)} dev claims "
+        f"{res['train_s']}s; best of {max(args.restarts, 1)} seed restarts "
+        f"by val F1: {res.get('restart_val_f1s')}), evaluated on "
+        f"{len(dev_claims)} dev claims "
         "with the evidence input swapped. The tfidf retrieval feeding the "
         "tfidf_retrieval row achieves sentence recall@1 "
         f"{res.get('tfidf_sentence_recall@1')} / recall@5 "
