@@ -29,7 +29,9 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--d-tile", type=int, default=256)
+    # None = the ranker's auto resolution (1024 below the fused gate since
+    # round 3 — probe_slab_tiles/probe_light_tiles; was 256 in round 2)
+    ap.add_argument("--d-tile", type=int, default=None)
     # df=24: measured best at this corpus (26.8K best-of vs 22.7K at 32 in
     # the same session; sweep_df plateau 16-32). The autotuner's pick (16)
     # is inside the plateau's noise band.

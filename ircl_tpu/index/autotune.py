@@ -66,9 +66,11 @@ def _padded(x: int, m: int = 256) -> int:
     return -(-max(int(x), 1) // m) * m
 
 
-def _bucketed_slab_nk(widths_sorted: np.ndarray, pad_tile: int = 256) -> int:
+def _bucketed_slab_nk(widths_sorted: np.ndarray, pad_tile: int = 1024) -> int:
     """min over bucket cuts of Na_pad*Ka_pad + Nb_pad*Kb_pad — mirrors
-    ``bucket_heavy``'s objective (index/split.py)."""
+    ``bucket_heavy``'s objective (index/split.py). pad_tile mirrors the
+    ranker's lcm(d_tile, 1024) bucket padding (the light-add kernel's
+    1024 doc tile)."""
     n = len(widths_sorted)
     best = None
     for q in (0.5, 0.65, 0.8, 0.9, 0.95, 1.0):

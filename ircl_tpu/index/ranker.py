@@ -186,8 +186,11 @@ class TfidfRanker:
         #                               holds; scores drift ~0.2% rel)
         width_buckets: int = 1,  # 2: width-bucketed heavy slab (less padding)
         d_tile: Optional[int] = None,  # doc-axis slab tile; None resolves to
-        #   512 past the fused gate (slab time -25% at 1M, measured) and 256
-        #   below it (best at the 50K fused config)
+        #   512 past the fused gate (slab time -25% at 1M, measured) and
+        #   1024 below it (probe_slab_tiles: -16/-19% on the narrow/wide
+        #   slab fills vs the round-2 256, exact output; the earlier
+        #   "256 best at 50K" end-to-end read predates the lcm-1024 bucket
+        #   padding and the light kernel's own tile)
         split=None,  # prebuilt SplitIndex (index/split.py::load_split) —
         #   serving cold-start skips the 15-26s (at 1M docs) df-split
         #   rebuild; must match the index (num_docs/hash_size checked) and
@@ -233,7 +236,7 @@ class TfidfRanker:
                 512
                 if mode == "hybrid"
                 and index.num_docs > self.FUSED_LIGHT_MAX_DOCS
-                else 256
+                else 1024
             )
         self.d_tile = d_tile
         self._ell_terms = self._ell_vals = None
@@ -274,12 +277,16 @@ class TfidfRanker:
             )
             put = lambda x: jax.device_put(x, device)
             if width_buckets == 2:
-                # lcm(d_tile, 256): the fused light path tiles at 256. The
-                # bucket cut MUST use the same tile as pad_for_slab below —
-                # old2pos encodes bucket_b's concat offset as na_pad, and a
-                # mismatched pad silently shifts every bucket_b doc id
-                # (caught as a 1/32 top-5 corruption at 1M, d_tile=512).
-                pad_tile = math.lcm(d_tile, 256)
+                # lcm(d_tile, 1024): the fused light path picks the largest
+                # doc tile (1024/512/256) dividing the padded doc count, and
+                # 1024 is worth ~1.7x on that kernel (probe_light_tiles) —
+                # cheap insurance for the staged path too (<=2046 extra pad
+                # docs, ~0.2% matmul flops at 1M). The bucket cut MUST use
+                # the same tile as pad_for_slab below — old2pos encodes
+                # bucket_b's concat offset as na_pad, and a mismatched pad
+                # silently shifts every bucket_b doc id (caught as a 1/32
+                # top-5 corruption at 1M, d_tile=512).
+                pad_tile = math.lcm(d_tile, 1024)
                 bk = bucket_heavy(self._split.heavy, d_tile=pad_tile)
                 self._bucketed = bk
                 ta, va = pad_for_slab(

@@ -358,7 +358,8 @@ def hybrid_topk_bucketed_fused(
     precision: str = "highest",
     queries_sorted: bool = False,
     pools_sorted: bool = False,  # light pools pre-sorted by doc on host
-    d_tile: int = 256,  # slab tile only; the light-add kernel stays at 256
+    d_tile: int = 256,  # slab tile only; the light-add kernel picks its own
+    #   doc tile (largest of 1024/512/256 dividing the padded doc count)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fully fused variant: scores stay transposed ([N, B]), the light pools
     are added straight into them and per-tile top-k emitted by the
@@ -386,8 +387,18 @@ def hybrid_topk_bucketed_fused(
         sv = jnp.pad(sv, ((0, b_pad - B), (0, 0)))
     h_t = h_t[:, :b_pad]
 
+    # Largest doc tile the padded doc count admits: the kernel's cost is
+    # ~6us/grid-step of fixed overhead on top of a tile-size-independent
+    # VPU floor (measured sweep, scripts/probe_light_tiles.py: 68.4 ms at
+    # 256 -> 40.6 ms at 1024 for the 50K bench shape, scores bit-equal;
+    # only exact-tie winner ids can differ across tilings). The ranker pads
+    # buckets to lcm(d_tile, 1024) so this resolves to 1024 in serving.
+    light_dt = next(
+        t for t in (1024, 512, 256) if h_t.shape[0] % t == 0
+    )
     tile_s, tile_i = light_add_topk_t(
-        h_t, sd.T, sv.T, k=k, b_tile=128, d_tile=256, interpret=interpret
+        h_t, sd.T, sv.T, k=k, b_tile=128, d_tile=light_dt,
+        interpret=interpret,
     )  # [n_dt * k8, b_pad] scores / global doc positions
 
     top_s, top_pos = jax.lax.top_k(

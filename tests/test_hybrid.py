@@ -460,13 +460,14 @@ def test_d_tile_512_matches_default():
 
 
 def test_d_tile_default_resolution(setup):
-    """d_tile=None resolves to 512 past the fused gate, 256 below it."""
+    """d_tile=None resolves to 512 past the fused gate, 1024 below it
+    (round-3 probes: 1024 slab fill -16/-19%, light kernel -40%)."""
     index, _ = setup
     saved = (TfidfRanker.ELL_MAX_DOCS, TfidfRanker.FUSED_LIGHT_MAX_DOCS)
     try:
         TfidfRanker.ELL_MAX_DOCS = 1
         TfidfRanker.FUSED_LIGHT_MAX_DOCS = 10_000  # fixture is below
-        assert TfidfRanker(index, df_threshold=8).d_tile == 256
+        assert TfidfRanker(index, df_threshold=8).d_tile == 1024
         TfidfRanker.FUSED_LIGHT_MAX_DOCS = 10  # fixture is above
         assert TfidfRanker(index, df_threshold=8).d_tile == 512
         assert TfidfRanker(index, df_threshold=8, d_tile=256).d_tile == 256
