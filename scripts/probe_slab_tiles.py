@@ -78,12 +78,12 @@ def main():
     log(f"U={u_pad.shape[0]} u_tile={u_tile} "
         f"narrow {ta_h.shape} wide {tb_h.shape}")
 
-    def run(terms_h, vals_h, d_tile, reps=8):
+    def run(terms_h, vals_h, d_tile, u_t, reps=8):
         # re-pad the k-major arrays to this d_tile's multiple
         t_p, v_p = pad_for_slab(terms_h, vals_h, d_tile=d_tile)
         t_d, v_d = jnp.asarray(t_p), jnp.asarray(v_p)
         fn = jax.jit(lambda u, t, v: membership_slab_windowed(
-            u, t, v, u_tile=u_tile, d_tile=d_tile))
+            u, t, v, u_tile=u_t, d_tile=d_tile))
         out = fn(u_sorted, t_d, v_d)
         jax.block_until_ready(out)
         _ = np.asarray(out[:1, :1])
@@ -95,14 +95,24 @@ def main():
         return (time.time() - t0) / reps, out
 
     results = []
+    # (label-suffix, u_tile, d_tile) — u_tile trades grid cells against
+    # window width (wider u value range per tile -> more k iterations)
+    cfgs = [
+        (256, u_tile), (256, u_tile), (512, u_tile), (1024, u_tile),
+        (2048, u_tile), (1024, u_tile), (1024, 1024), (1024, 256),
+        (512, 1024), (1024, u_tile), (256, u_tile),
+    ]
     for name, (t_h, v_h) in (("narrow", (ta_h, va_h)),
                              ("wide", (tb_h, vb_h))):
         ref = None
         n_real = t_h.shape[1]
-        for d_tile in (256, 256, 512, 1024, 2048, 1024, 256):
-            label = f"{name} d_tile={d_tile}"
+        for d_tile, u_t in cfgs:
+            label = f"{name} u_tile={u_t} d_tile={d_tile}"
+            if u_pad.shape[0] % u_t:
+                log(f"skip {label}: u mismatch")
+                continue
             try:
-                t, out = run(t_h, v_h, d_tile)
+                t, out = run(t_h, v_h, d_tile, u_t)
             except Exception as e:
                 log(f"{label}: FAILED {type(e).__name__}: {str(e)[:160]}")
                 continue
@@ -115,6 +125,37 @@ def main():
                 ok = bool((m == ref).all())
                 log(f"{label}: {t*1000:.1f} ms exact={ok}")
             results.append((label, round(t * 1000, 2), ok))
+
+    # query slab: [U, B] fill — the b-axis tile is the same d_tile knob.
+    # Mirror the engine's sorted query ELL prep (profile_50k.py).
+    key = np.where(hw != 0.0, buckets, np.int32(2**31 - 1))
+    order = np.argsort(key, axis=1, kind="stable")
+    sb = np.take_along_axis(buckets, order, axis=1).astype(np.int32)
+    sw = np.take_along_axis(hw, order, axis=1)
+    sb = np.where(sw != 0.0, sb, -1)
+    qb_h = np.ascontiguousarray(sb.T)
+    qw_h = np.ascontiguousarray(sw.T)
+    ref = None
+    for b_t, u_t in ((128, u_tile), (128, u_tile), (512, u_tile),
+                     (1024, u_tile), (512, 1024), (128, u_tile)):
+        label = f"query b_tile={b_t} u_tile={u_t}"
+        if u_pad.shape[0] % u_t or qb_j.shape[1] % b_t:
+            log(f"skip {label}")
+            continue
+        try:
+            t, out = run(qb_h, qw_h, b_t, u_t)
+        except Exception as e:
+            log(f"{label}: FAILED {type(e).__name__}: {str(e)[:160]}")
+            continue
+        m = np.asarray(out)
+        if ref is None:
+            ref = m
+            log(f"{label}: {t*1000:.1f} ms (reference)")
+            ok = True
+        else:
+            ok = bool((m[:, : ref.shape[1]] == ref).all())
+            log(f"{label}: {t*1000:.1f} ms exact={ok}")
+        results.append((label, round(t * 1000, 2), ok))
 
     import json
 

@@ -157,8 +157,12 @@ def main():
         if b_pad != B:
             sd = jnp.pad(sd, ((0, b_pad - B), (0, 0)))
             sv = jnp.pad(sv, ((0, b_pad - B), (0, 0)))
+        # mirror hybrid_topk_bucketed_fused's adaptive doc-tile pick
+        light_dt = next(
+            t for t in (1024, 512, 256) if h_t.shape[0] % t == 0
+        )
         return light_add_topk_t(
-            h_t[:, :b_pad], sd.T, sv.T, k=5, b_tile=128, d_tile=256,
+            h_t[:, :b_pad], sd.T, sv.T, k=5, b_tile=128, d_tile=light_dt,
         )
 
     @jax.jit
