@@ -132,7 +132,7 @@ def _bucketed_membership(
     """Twin width-bucket membership slabs concatenated along docs: the one
     shared copy for the staged and fused bucketed engines (only the final
     dot orientation differs between them)."""
-    u_tile = _u_tile(u_sorted.shape[0])
+    u_tile = _u_tile(u_sorted.shape[0], d_tile)
     ma = membership_slab_windowed(
         u_sorted, terms_a, vals_a, u_tile=u_tile, d_tile=d_tile,
         interpret=interpret,
@@ -233,13 +233,18 @@ def _merge_light(
     )
 
 
-def _u_tile(u: int) -> int:
+def _u_tile(u: int, d_tile: int = 256) -> int:
     """At least 4 u-tiles when the union allows it, so the value-range
     windows can skip work even for small heavy unions (e.g. 512 at 1M docs).
     Clamped to u itself: a union narrower than 128 slots (fixed_union_cap
     below 128) must tile at its own width or the slab's u % u_tile == 0
-    assertion trips at serving time."""
-    return min(u, max(128, min(512, u // 4)))
+    assertion trips at serving time. The cap is 256 when d_tile >= 1024
+    (50K fused config: the narrower value windows beat the extra grid
+    cells once the 1024 doc tiles amortize them — narrow slab 22.7 ->
+    20.1 ms, probe_slab_tiles) and the round-2 512 otherwise (the 1M
+    staged path runs d_tile=512 and the 256 combo is unmeasured there)."""
+    cap = 256 if d_tile >= 1024 else 512
+    return min(u, max(128, min(cap, u // 4)))
 
 
 _PREC_TABLE = {
@@ -267,13 +272,18 @@ def _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted,
     the doc side."""
     if slab_impl == "xla":
         return slab_xla_reference(u_sorted, qb_t, qw_t)
+    # batch-axis tile: 512 when the padded batch admits it (grid overhead
+    # measured -15% on the query fill at B=4096, probe_slab_tiles
+    # --query-only: 8.5 -> 7.2 ms), else the universal 128
+    b_tile = 512 if qb_t.shape[1] % 512 == 0 else 128
     if queries_sorted:
         return membership_slab_windowed(
-            u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128,
+            u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=b_tile,
             interpret=interpret,
         )
     return membership_slab(
-        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=128, interpret=interpret
+        u_sorted, qb_t, qw_t, u_tile=u_tile, d_tile=b_tile,
+        interpret=interpret,
     )
 
 
@@ -281,7 +291,7 @@ def _heavy_scores(
     u_sorted, terms_t, vals_t, qb_t, qw_t, interpret, prec, b,
     queries_sorted=False, d_tile=256, slab_impl="pallas",
 ):
-    u_tile = _u_tile(u_sorted.shape[0])
+    u_tile = _u_tile(u_sorted.shape[0], d_tile)
     if slab_impl == "xla":
         # CPU-mesh validation path at scale (see slab_xla_reference)
         m = slab_xla_reference(u_sorted, terms_t, vals_t)

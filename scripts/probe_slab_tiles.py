@@ -102,8 +102,11 @@ def main():
         (2048, u_tile), (1024, u_tile), (1024, 1024), (1024, 256),
         (512, 1024), (1024, u_tile), (256, u_tile),
     ]
-    for name, (t_h, v_h) in (("narrow", (ta_h, va_h)),
-                             ("wide", (tb_h, vb_h))):
+    doc_sections = (
+        () if "--query-only" in sys.argv
+        else (("narrow", (ta_h, va_h)), ("wide", (tb_h, vb_h)))
+    )
+    for name, (t_h, v_h) in doc_sections:
         ref = None
         n_real = t_h.shape[1]
         for d_tile, u_t in cfgs:
@@ -139,7 +142,7 @@ def main():
     for b_t, u_t in ((128, u_tile), (128, u_tile), (512, u_tile),
                      (1024, u_tile), (512, 1024), (128, u_tile)):
         label = f"query b_tile={b_t} u_tile={u_t}"
-        if u_pad.shape[0] % u_t or qb_j.shape[1] % b_t:
+        if u_pad.shape[0] % u_t or qb_h.shape[1] % b_t:
             log(f"skip {label}")
             continue
         try:
