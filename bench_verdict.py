@@ -22,6 +22,14 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # "flash": Pallas TPU flash-attention kernel — at L=512 the XLA path
+    # materializes [B, 12, 512, 512] probs per layer for backward
+    ap.add_argument("--attention", choices=("xla", "flash"), default="xla")
+    args = ap.parse_args()
+
     from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
 
     if not probe_backend():
@@ -58,6 +66,7 @@ def main():
             position_offset=2,
             layernorm_eps=1e-5,
             dtype=dtype,
+            attention=args.attention,
         )
         cfg = VerdictConfig(encoder=enc, warmup_steps=100, max_length=L)
         params = init_verdict_params(jax.random.PRNGKey(0), cfg)
@@ -111,6 +120,7 @@ def main():
         log(f"[{tag}] predict: {best_p:.0f} ex/s (batch {PB})")
         del params, opt_state
 
+    results["attention"] = args.attention
     print(
         json.dumps(
             {

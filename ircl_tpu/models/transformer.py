@@ -10,10 +10,16 @@ environment has no network egress, so random init + trained heads are the
 default; the contrastive head and QA classifier are featurizer-agnostic by
 design).
 
-TPU notes: all matmuls carry ``preferred_element_type=f32``; attention is
-plain jnp (XLA fuses the softmax chain); sequence lengths are short (<=512)
-and static, so flash-attention buys nothing here — the MXU is saturated by
-the batched [B*H, L, L] matmuls already.
+TPU notes: all matmuls carry ``preferred_element_type=f32``; attention
+defaults to plain jnp (XLA fuses the softmax chain). ``attention="flash"``
+opts into the Pallas TPU flash-attention kernel
+(``jax.experimental.pallas.ops.tpu.flash_attention``) — MEASURED NEGATIVE
+at the reference verdict shape (12L/768h, B=8, L=512): 15.9 steps/s vs
+29.5 for the XLA path (bench_verdict --attention flash, v5e), and the
+kernel's in-kernel dots are bf16-class (~6e-3 output delta at f32 —
+scripts/probe_flash_attn.py). The avoided [B, H, L, L] probs traffic does
+not pay for the kernel's per-block overhead at this small B*H; kept as an
+opt-in for long-sequence shapes where it would.
 """
 
 from __future__ import annotations
@@ -39,6 +45,10 @@ class TransformerConfig:
     # roberta uses padding_idx-offset position ids (first real position = 2)
     position_offset: int = 0
     dtype: Any = jnp.float32
+    # "xla" (default; fused softmax chain, CPU-compatible) or "flash"
+    # (Pallas TPU kernel; pad tokens are isolated via segment ids and
+    # their garbage outputs masked by downstream pooling)
+    attention: str = "xla"
 
 
 def _dense_init(key, shape, scale=0.02):
@@ -116,19 +126,43 @@ def transformer_apply(
     neg = jnp.asarray(-1e9, dtype)
     attn_bias = (1.0 - mask[:, None, None, :].astype(dtype)) * neg  # [B,1,1,L]
 
+    if cfg.attention == "flash":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        # pad tokens get segment 0, real tokens segment 1: cross-segment
+        # attention is masked inside the kernel, which reproduces the
+        # additive -1e9 pad bias for every REAL query row (pad rows attend
+        # pads; their outputs are garbage masked by downstream pooling)
+        seg = SegmentIds(
+            q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
+        )
+
     for lp in params["layers"]:
         q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
         v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        logits = (
-            jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-            / np.sqrt(hd)
-            + attn_bias
-        )
-        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        ).astype(dtype)
+        if cfg.attention == "flash":
+            ctx = flash_attention(
+                q, k, v, segment_ids=seg, causal=False,
+                sm_scale=float(1.0 / np.sqrt(hd)),
+            ).astype(dtype)
+        else:
+            logits = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                / np.sqrt(hd)
+                + attn_bias
+            )
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v,
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
         x = _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
         ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
