@@ -57,6 +57,9 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
+    # staged-path slab doc tile (round-2 measured best 512 at 1M; 1024 is
+    # the 50K fused winner — A/B with this flag)
+    ap.add_argument("--d-tile", type=int, default=512)
     ap.add_argument("--terms", type=int, default=96)
     ap.add_argument("--vocab", type=int, default=2_000_000)
     ap.add_argument("--batch", type=int, default=1024)
@@ -158,7 +161,7 @@ def main(argv=None):
         ranker = ChunkedHybridRanker(
             index, chunk_docs=args.chunk_docs, df_threshold=256,
             width_buckets=2, precision="high", fixed_max_terms=24,
-            d_tile=512, split_cache_dir=args.split_cache,
+            d_tile=args.d_tile, split_cache_dir=args.split_cache,
         )
         log(
             f"chunked device index built in {time.time()-t0:.0f}s "
@@ -167,7 +170,7 @@ def main(argv=None):
     else:
         ranker = TfidfRanker(
             index, mode="hybrid", df_threshold=256, width_buckets=2,
-            precision="high", fixed_max_terms=24, d_tile=512,
+            precision="high", fixed_max_terms=24, d_tile=args.d_tile,
         )
         log(f"device index built in {time.time()-t0:.0f}s (K_h={ranker._split.heavy.k_width})")
 
