@@ -28,6 +28,9 @@ def main():
     # "flash": Pallas TPU flash-attention kernel — at L=512 the XLA path
     # materializes [B, 12, 512, 512] probs per layer for backward
     ap.add_argument("--attention", choices=("xla", "flash"), default="xla")
+    # reference shape is B=8 (src/QA/train.py:31-43); bigger batches show
+    # the chip's actual headroom at the same model shape
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
@@ -52,7 +55,7 @@ def main():
         verdict_predict,
     )
 
-    B, L = 8, 512  # reference: src/QA/train.py:31-43
+    B, L = args.batch, 512  # reference: B=8, src/QA/train.py:31-43
     results = {}
     for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         enc = TransformerConfig(
@@ -121,12 +124,13 @@ def main():
         del params, opt_state
 
     results["attention"] = args.attention
+    results["batch"] = B
     print(
         json.dumps(
             {
                 "metric": "verdict_train_steps_per_s_roberta_base_shape",
                 "value": results["train_steps_per_s_bf16"],
-                "unit": "steps/s (B=8, L=512)",
+                "unit": f"steps/s (B={B}, L=512)",
                 "detail": results,
             }
         )
