@@ -156,7 +156,8 @@ def main():
                 _val_inv.setdefault(_v, []).append((_d, _si))
 
     def build_aug(same_doc_frac: float, seed: int, fixed_n: bool = False,
-                  refute_val_trap: float = 0.0, gold_frac: float = 0.0):
+                  refute_val_trap: float = 0.0, gold_frac: float = 0.0,
+                  mid_frac: float = 0.0):
         """Gold evidence + distractor sentences.
 
         ``refute_val_trap``: probability that a REFUTES claim's evidence
@@ -174,7 +175,9 @@ def main():
         ground_truth/k1 rows are 1-title+1-sentence, and a phase trained
         (and best-val-selected) only on the 4-distractor format drifts
         off it (measured: gold ceiling 0.904 -> 0.80 across 3 seeds when
-        phase C is pure fixed_n)."""
+        phase C is pure fixed_n). ``mid_frac``: probability of the
+        half-window format (train_distractors // 2 distractors = the k3
+        eval window) so selection tracks all three eval formats."""
         rng_t = np.random.default_rng(seed)
         all_ids = list(doc_sents.keys())
         override = []
@@ -183,6 +186,8 @@ def main():
             gold_doc = gold[0][0]
             if gold_frac > 0.0 and rng_t.random() < gold_frac:
                 n_d = 0
+            elif mid_frac > 0.0 and rng_t.random() < mid_frac:
+                n_d = max(args.train_distractors // 2, 1)
             elif fixed_n:
                 n_d = args.train_distractors
             else:
@@ -232,6 +237,11 @@ def main():
             (train_ex_gold, args.epochs, 0.90, 3e-4, False),
             (build_aug(0.0, 11), max(args.epochs // 2, 1), None, 1e-4, True),
             (
+                # mid_frac MEASURED NEGATIVE (2026-08): adding 25% of the
+                # k3-window format to phase C diluted it — every row fell
+                # (gold 0.916 -> 0.876, k3 0.700 -> 0.666, k5 0.648 ->
+                # 0.628, same 3 seeds). The gold_frac=0.25 replay alone is
+                # the best measured configuration.
                 build_aug(
                     0.5, 13, fixed_n=True,
                     refute_val_trap=args.phase_c_trap,
