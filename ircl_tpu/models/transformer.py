@@ -123,8 +123,6 @@ def transformer_apply(
 
     nh = cfg.heads
     hd = cfg.hidden // nh
-    neg = jnp.asarray(-1e9, dtype)
-    attn_bias = (1.0 - mask[:, None, None, :].astype(dtype)) * neg  # [B,1,1,L]
 
     if cfg.attention == "flash":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -139,6 +137,11 @@ def transformer_apply(
         seg = SegmentIds(
             q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
         )
+    else:
+        neg = jnp.asarray(-1e9, dtype)
+        attn_bias = (
+            (1.0 - mask[:, None, None, :].astype(dtype)) * neg
+        )  # [B,1,1,L]
 
     for lp in params["layers"]:
         q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)

@@ -403,6 +403,12 @@ def hybrid_topk_bucketed_fused(
     # 256 -> 40.6 ms at 1024 for the 50K bench shape, scores bit-equal;
     # only exact-tie winner ids can differ across tilings). The ranker pads
     # buckets to lcm(d_tile, 1024) so this resolves to 1024 in serving.
+    if h_t.shape[0] % 256:
+        raise ValueError(
+            f"padded doc count {h_t.shape[0]} is not a multiple of 256 — "
+            "pad buckets with pad_for_slab(d_tile=lcm(d_tile, 1024)) as "
+            "TfidfRanker does"
+        )
     light_dt = next(
         t for t in (1024, 512, 256) if h_t.shape[0] % t == 0
     )

@@ -75,10 +75,16 @@ def train_verdict(
     #   unstable for random-init tiny transformers)
     keep_best: bool = False,  # return the best-val-F1 epoch's params
     #   instead of the last (fine-tune phases peak mid-run then forget)
+    split_seed: Optional[int] = None,  # train/val split seed; defaults to
+    #   ``seed``. Pass a FIXED value when comparing val F1 across seed
+    #   restarts — otherwise each restart is scored on a different val
+    #   split and the max over restarts is upward-biased split noise
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
-    order = rng.permutation(n)
+    order = np.random.default_rng(
+        seed if split_seed is None else split_seed
+    ).permutation(n)
     # val_fraction=0 genuinely disables validation (tiny golden-fixture
     # runs need every example for training); otherwise at least 1 example
     n_val = (

@@ -95,8 +95,8 @@ def main():
         return (time.time() - t0) / reps, out
 
     results = []
-    # (label-suffix, u_tile, d_tile) — u_tile trades grid cells against
-    # window width (wider u value range per tile -> more k iterations)
+    # (d_tile, u_tile) pairs — u_tile trades grid cells against window
+    # width (wider u value range per tile -> more k iterations)
     cfgs = [
         (256, u_tile), (256, u_tile), (512, u_tile), (1024, u_tile),
         (2048, u_tile), (1024, u_tile), (1024, 1024), (1024, 256),

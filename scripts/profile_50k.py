@@ -120,7 +120,7 @@ def main():
     ta, va = ranker._heavy_a
     tb, vb = ranker._heavy_b
     U = u_pad.shape[0]
-    u_tile = hy._u_tile(U)
+    u_tile = hy._u_tile(U, d_tile)  # the ENGINE's pick (256 at d_tile 1024)
     prec = hy._PREC["high"]
     res = {
         "B": B, "U": int(U), "u_tile": int(u_tile), "d_tile": int(d_tile),
@@ -138,8 +138,11 @@ def main():
 
     slab_doc = jax.jit(lambda u, t, v: membership_slab_windowed(
         u, t, v, u_tile=u_tile, d_tile=d_tile))
+    # mirror _query_slab's batch-tile pick (512 when the padded batch
+    # admits it) so the stage time matches the serving kernel
+    q_b_tile = 512 if qb_t.shape[1] % 512 == 0 else 128
     slab_q = jax.jit(lambda u, t, v: membership_slab_windowed(
-        u, t, v, u_tile=u_tile, d_tile=128))
+        u, t, v, u_tile=u_tile, d_tile=q_b_tile))
 
     @jax.jit
     def scores_t(u, ta, va, tb, vb, qb_t, qw_t):

@@ -295,6 +295,10 @@ def main():
                 epochs=n_ep, batch_size=32, val_fraction=0.05,
                 init_params=params, stop_at_val_f1=target,
                 keep_best=keep_best, seed=seed,
+                # FIXED split across restarts: selection by val F1 is only
+                # meaningful when every restart is scored on the same val
+                # set (varying it confounds model quality with split noise)
+                split_seed=1009,
             )
             history = history + hist
         # Val F1 of the params this restart returns: with keep_best the
