@@ -9,6 +9,7 @@ CLIs under ``preprocessing/`` and ``src/QA/``) with one subcommand tree:
     python -m ircl_tpu.cli retrieve       # two-stage retrieval + recall@k
     python -m ircl_tpu.cli train-verdict  # verdict classifier (extrinsic)
     python -m ircl_tpu.cli bench          # the judged QPS benchmark
+    python -m ircl_tpu.cli serve          # HTTP/stdin retrieval endpoint
 
 Reference flag surface is preserved where it exists: ``--loss
 {InfoNCE,ProtoNCE,HProtoNCE}``, ``--opt {adam,sgd}``, ``--sample
@@ -346,6 +347,49 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_serve(args):
+    """Serve retrieval over HTTP (or stdin JSONL) with pinned shapes.
+
+    The reference has no serving surface (its ranker is called in-process,
+    ``drqa/retriever/tfidf_doc_ranker.py:100-126``); this wraps the
+    batch-first engine per docs/SERVING.md. Index path defaults to the
+    tf-idf npz that ``build-index`` writes."""
+    cfg = _load(args)
+    from ircl_tpu.serve import make_service, serve_http, serve_stdin
+
+    index_path = args.index or os.path.join(
+        cfg.data.data_dir,
+        "index",
+        f"tfidf-ngram={cfg.index.ngram}-hash={cfg.index.hash_size}.npz",
+    )
+    service = make_service(
+        index_path,
+        batch_size=args.batch_size,
+        default_k=args.k,
+        max_terms=args.max_terms,
+        union_cap=args.union_cap,
+        split_path=args.split,
+        mode=cfg.index.mode,
+    )
+    print(
+        f"loaded {service.num_docs} docs from {index_path}; warming up "
+        f"(one compile + index upload)...",
+        file=sys.stderr,
+    )
+    service.warmup()
+    if args.stdin:
+        n = serve_stdin(service, sys.stdin, sys.stdout)
+        print(f"served {n} requests", file=sys.stderr)
+        return
+    server = serve_http(service, host=args.host, port=args.port)
+    print(
+        f"serving on http://{args.host}:{server.server_address[1]} "
+        f"(POST /search, GET /healthz)",
+        file=sys.stderr,
+    )
+    server.serve_forever()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ircl_tpu", description=__doc__)
     p.add_argument("--config", type=str, default=None, help="yaml/json config path")
@@ -394,6 +438,18 @@ def build_parser() -> argparse.ArgumentParser:
     ev.set_defaults(fn=cmd_eval_verdict)
 
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--index", type=str, default=None, help="tf-idf npz path")
+    s.add_argument("--split", type=str, default=None, help="df-split npz (save_split)")
+    s.add_argument("--host", type=str, default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8080)
+    s.add_argument("--stdin", action="store_true", help="JSONL over stdin/stdout")
+    s.add_argument("--k", type=int, default=5)
+    s.add_argument("--batch-size", type=int, default=256, help="pinned device batch")
+    s.add_argument("--max-terms", type=int, default=24)
+    s.add_argument("--union-cap", type=int, default=4096)
+    s.set_defaults(fn=cmd_serve)
     return p
 
 

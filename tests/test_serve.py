@@ -1,0 +1,170 @@
+"""Serving endpoint tests (`ircl_tpu/serve.py`).
+
+The reference has no service surface (its ranker runs in-process,
+``drqa/retriever/tfidf_doc_ranker.py:100-126``); these tests pin the
+contract of ours: pinned-batch padding/chunking is invisible (results
+match a direct `closest_docs_batch` call exactly), empty queries are
+legal, and the HTTP + stdin shims round-trip JSON faithfully.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from ircl_tpu.corpus.store import MemoryDocStore
+from ircl_tpu.index.build import build_count_index
+from ircl_tpu.index.ranker import TfidfRanker
+from ircl_tpu.index.tfidf import tfidf_transform
+from ircl_tpu.serve import (
+    RetrievalService,
+    make_service,
+    serve_http,
+    serve_stdin,
+)
+
+DOCS = {
+    "Apollo_11": "apollo eleven landed on the moon in nineteen sixty nine",
+    "Moon": "the moon is a natural satellite of the earth",
+    "Mars": "mars is the fourth planet from the sun",
+    "Saturn_V": "the saturn five rocket launched apollo missions to the moon",
+    "Earth": "earth is the third planet orbiting the sun",
+    "Venus": "venus is the second planet from the sun",
+}
+
+QUERIES = [
+    "rocket that launched apollo to the moon",
+    "planet fourth from the sun",
+    "natural satellite of the earth",
+]
+
+
+@pytest.fixture(scope="module")
+def index():
+    return tfidf_transform(
+        build_count_index(MemoryDocStore(DOCS), ngram=2, hash_size=1 << 18)
+    )
+
+
+@pytest.fixture(scope="module")
+def ranker(index):
+    return TfidfRanker(index)
+
+
+def _assert_matches_direct(results, ranker, queries, k):
+    direct = ranker.closest_docs_batch(list(queries), k=k)
+    assert len(results) == len(queries)
+    for got, (ids, scores) in zip(results, direct):
+        assert [g["doc_id"] for g in got] == ids
+        np.testing.assert_allclose(
+            [g["score"] for g in got], scores, rtol=1e-6
+        )
+
+
+def test_padding_is_invisible(ranker):
+    # 3 queries into a pinned batch of 4: the pad query must not appear
+    # and the real rows must match an unpadded direct call bit-for-bit.
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    _assert_matches_direct(svc.search(QUERIES), ranker, QUERIES, 3)
+
+
+def test_chunking_is_invisible(ranker):
+    # 7 queries through batch_size=3 -> 3 device batches (last one padded).
+    svc = RetrievalService(ranker, batch_size=3, default_k=2)
+    queries = (QUERIES * 3)[:7]
+    _assert_matches_direct(svc.search(queries), ranker, queries, 2)
+
+
+def test_empty_and_oov_queries(ranker):
+    svc = RetrievalService(ranker, batch_size=2, default_k=3)
+    out = svc.search(["", "zzzz qqqq xxxx", QUERIES[0]])
+    assert len(out) == 3
+    assert out[0] == []  # no terms -> no hits
+    assert out[2][0]["doc_id"] == "Saturn_V"
+
+
+def test_k_clamps_and_validates(ranker):
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    out = svc.search([QUERIES[0]], k=100)  # > num_docs: clamp, don't crash
+    assert len(out[0]) <= len(DOCS)
+    with pytest.raises(ValueError):
+        svc.search([QUERIES[0]], k=0)
+
+
+def test_make_service_from_saved_index(index, tmp_path):
+    path = str(tmp_path / "tfidf.npz")
+    index.save(path)
+    svc = make_service(path, batch_size=2, default_k=2, union_round=None)
+    assert svc.num_docs == len(DOCS)
+    out = svc.search([QUERIES[1]])
+    assert out[0][0]["doc_id"] == "Mars"
+
+
+@pytest.fixture()
+def http_service(ranker):
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    server = serve_http(svc, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", svc
+    server.shutdown()
+
+
+def test_http_search_and_health(http_service, ranker):
+    base, _ = http_service
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        health = json.loads(r.read())
+    assert health == {"ok": True, "docs": len(DOCS)}
+
+    req = urllib.request.Request(
+        f"{base}/search",
+        data=json.dumps({"queries": QUERIES, "k": 2}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        results = json.loads(r.read())["results"]
+    _assert_matches_direct(results, ranker, QUERIES, 2)
+
+    # single-query sugar
+    req = urllib.request.Request(
+        f"{base}/search", data=json.dumps({"query": QUERIES[0]}).encode()
+    )
+    with urllib.request.urlopen(req) as r:
+        results = json.loads(r.read())["results"]
+    assert results[0][0]["doc_id"] == "Saturn_V"
+
+
+def test_http_bad_requests(http_service):
+    base, _ = http_service
+    for payload in (b"not json", b"{}", b'{"queries": [1, 2]}',
+                    b'{"queries": ["x"], "k": 0}'):
+        req = urllib.request.Request(f"{base}/search", data=payload)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/nope")
+    assert e.value.code == 404
+
+
+def test_stdin_jsonl_loop(ranker):
+    svc = RetrievalService(ranker, batch_size=4, default_k=2)
+    lines = [
+        json.dumps({"queries": QUERIES, "k": 2}),
+        "",  # blank lines skipped
+        json.dumps({"query": QUERIES[2]}),
+        "garbage{",  # malformed -> error line, loop continues
+        json.dumps({"queries": [QUERIES[1]]}),
+    ]
+    out = io.StringIO()
+    served = serve_stdin(svc, io.StringIO("\n".join(lines) + "\n"), out)
+    assert served == 3
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(replies) == 4  # 3 results + 1 error
+    _assert_matches_direct(replies[0]["results"], ranker, QUERIES, 2)
+    assert replies[1]["results"][0][0]["doc_id"] == "Moon"
+    assert "error" in replies[2]
+    assert replies[3]["results"][0][0]["doc_id"] == "Mars"
