@@ -10,54 +10,123 @@ are checked for parity (identical scores modulo ties) before timing counts.
 
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "queries/s", "vs_baseline": ratio}
+
+Timeout-proofing (round 4 — round 3's judged run was SIGTERM-killed mid
+compile with nothing on stdout):
+
+- The bench body runs in a worker thread; the MAIN thread only waits, so a
+  SIGTERM/SIGINT/SIGALRM handler always runs promptly (a handler in a main
+  thread blocked inside a C transfer call may never fire before SIGKILL).
+- The handler emits the best-so-far judged line (or, pre-parity, a
+  ``compile_incomplete`` line carrying the CPU baseline) and exits.
+- The judged line is printed right after the throughput plateau; the latency
+  probe runs after it and can no longer cost the number.
+- The full-batch scipy parity reference is computed WHILE the TPU first batch
+  compiles (it only needs the host).
+- Cold-cache fallback: each completed first batch drops a marker keyed by the
+  compiled shapes; when the requested default shape has no marker but a
+  smaller previously-warmed batch does, the bench runs that shape instead of
+  gambling minutes of remote compile against the driver's budget.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
+
+METRIC = "sparse_tfidf_retrieval_qps_per_chip"
+MARKER_DIR = "/tmp/ircl_jax_cache/markers"
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import argparse
+class _State:
+    """Best-so-far shared between the worker and the signal handlers."""
 
-    ap = argparse.ArgumentParser()
-    # None = the ranker's auto resolution (1024 below the fused gate since
-    # round 3 — probe_slab_tiles/probe_light_tiles; was 256 in round 2)
-    ap.add_argument("--d-tile", type=int, default=None)
-    # df=24: measured best at this corpus (26.8K best-of vs 22.7K at 32 in
-    # the same session; sweep_df plateau 16-32). The autotuner's pick (16)
-    # is inside the plateau's noise band.
-    ap.add_argument("--df-threshold", type=int, default=24)
-    # batch-size knob. Hardware A/B (round 3, post-outage, alternating):
-    # 4096 amortizes fixed per-dispatch cost past the union growth —
-    # 24.2-24.6K q/s across 4 runs vs 21.0-21.2K at 2048 (same session);
-    # 8192 regresses (~23.7K, bigger union + 6.5min compile). Default 4096.
-    ap.add_argument("--claims", type=int, default=4096)
-    # union-width knob: pow2 padding (None) vs ceil to a 512-multiple.
-    # Hardware A/B (round 3, alternating): at B=2048 round512 is +12.5%
-    # (23.8K vs 21.0K — live union 5530 pads to 5632 instead of 8192); at
-    # B=4096 it is noise-neutral (24.4-24.6K both arms) but never does
-    # more heavy work than pow2, so it stays the default.
-    ap.add_argument("--union-round", type=int, default=512)
-    ap.add_argument(
-        "--trace", type=str, default=None,
-        help="capture a jax.profiler trace of one steady-state round into "
-        "this dir (best-effort: tolerated to fail through the axon tunnel)",
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.cpu_qps = 0.0
+        self.parity_ok = False
+        self.best_qps = 0.0
+        self.phase = "startup"
+        self.printed = False
+        self.done = threading.Event()
+
+    def emit(self, note: str | None = None) -> None:
+        """Print the single judged JSON line (idempotent)."""
+        with self.lock:
+            if self.printed:
+                return
+            self.printed = True
+            if self.parity_ok and self.best_qps > 0:
+                line = {
+                    "metric": METRIC,
+                    "value": round(self.best_qps, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": (
+                        round(self.best_qps / self.cpu_qps, 2)
+                        if self.cpu_qps
+                        else None
+                    ),
+                }
+            else:
+                # Salvage: no parity-gated TPU number yet. Record the CPU
+                # baseline so the round still produces an artifact.
+                line = {
+                    "metric": METRIC,
+                    "value": round(self.cpu_qps, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": 1.0 if self.cpu_qps else None,
+                    "note": f"incomplete at phase={self.phase}"
+                    + (f": {note}" if note else ""),
+                }
+            if note and "note" not in line:
+                line["note"] = note
+            print(json.dumps(line), flush=True)
+
+
+STATE = _State()
+
+
+def _marker_path(claims: int, ur, df, dt) -> str:
+    return os.path.join(
+        MARKER_DIR, f"sparse-c{claims}-ur{ur}-df{df}-dt{dt}-v1"
     )
-    args = ap.parse_args()
 
-    from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
 
+def _resolve_claims(requested, ur, df, dt) -> int:
+    """Cold-cache fallback: prefer the requested batch, but if it has never
+    compiled here and a smaller batch has, run the warm shape instead."""
+    default = 4096
+    if requested is not None:
+        return requested  # explicit flag: never second-guess
+    if os.path.exists(_marker_path(default, ur, df, dt)):
+        return default
+    for c in (2048, 1024):
+        if os.path.exists(_marker_path(c, ur, df, dt)):
+            log(
+                f"cold compile cache for claims={default}; falling back to "
+                f"previously-warmed claims={c} (pass --claims to override)"
+            )
+            return c
+    return default  # nothing warmed: take the default, rely on salvage
+
+
+def worker(args):
+    from ircl_tpu.utils.benchtime import probe_backend
+
+    STATE.phase = "backend_probe"
     if not probe_backend():
-        unavailable_line("sparse_tfidf_retrieval_qps_per_chip", "queries/s")
+        log("TPU backend unavailable (axon init timed out); aborting bench")
+        STATE.emit("axon backend unavailable (init timeout)")
         return
 
     import jax
@@ -75,15 +144,19 @@ def main():
     from ircl_tpu.index.tfidf import tfidf_transform
 
     NUM_DOCS = 50_000
-    NUM_CLAIMS = args.claims
+    NUM_CLAIMS = _resolve_claims(
+        args.claims, args.union_round, args.df_threshold, args.d_tile
+    )
     HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
     K = 5
 
+    STATE.phase = "corpus_gen"
     t0 = time.time()
     wiki = generate(num_docs=NUM_DOCS, num_claims=NUM_CLAIMS, seed=11)
     claims = [c.claim for c in wiki.claims]
     log(f"corpus generated in {time.time()-t0:.1f}s")
 
+    STATE.phase = "index_build"
     t0 = time.time()
     store = MemoryDocStore({d: rec["text"] for d, rec in wiki.docs.items()})
     index = tfidf_transform(build_count_index(store, ngram=2, hash_size=HASH_SIZE))
@@ -92,7 +165,27 @@ def main():
         f"{index.nnz} postings"
     )
 
-    # ---- reference-style CPU baseline -------------------------------------
+    # ---- TPU path: kick off the compile FIRST, reference while it runs ----
+    # Pinned serving shapes: one compiled executable for every batch.
+    STATE.phase = "tpu_compile"
+    ranker = TfidfRanker(
+        index, mode="hybrid", df_threshold=args.df_threshold, width_buckets=2,
+        fixed_union_cap=4096, fixed_max_terms=64,
+        # bf16_3x matmul: ~1e-6 rel score error, well inside the 1e-4 parity
+        # gate below; the f32(6-pass) "highest" tier costs 2x on the MXU.
+        precision="high",
+        d_tile=args.d_tile,
+        union_round=args.union_round,
+    )
+    async_fn = (
+        ranker._closest_hybrid_async
+        if ranker.mode == "hybrid"
+        else ranker._closest_ell_async
+    )
+    t_compile = time.time()
+    pending_first = async_fn(claims, K)
+
+    # ---- reference-style CPU baseline (overlapped with the compile) -------
     mat = to_scipy(index)  # (H x N) CSR
     buckets, weights = vectorize_queries(
         claims, HASH_SIZE, 2, index.doc_freqs, index.num_docs
@@ -116,34 +209,33 @@ def main():
     n_cpu = min(128, NUM_CLAIMS)
     t0 = time.time()
     cpu_results = [cpu_closest(b) for b in range(n_cpu)]
-    cpu_qps = n_cpu / (time.time() - t0)
-    log(f"cpu baseline: {cpu_qps:.1f} q/s")
+    STATE.cpu_qps = n_cpu / (time.time() - t0)
+    log(f"cpu baseline: {STATE.cpu_qps:.1f} q/s")
 
-    # ---- TPU path ---------------------------------------------------------
-    # Pinned serving shapes: one compiled executable for every batch.
-    ranker = TfidfRanker(
-        index, mode="hybrid", df_threshold=args.df_threshold, width_buckets=2,
-        fixed_union_cap=4096, fixed_max_terms=64,
-        # bf16_3x matmul: ~1e-6 rel score error, well inside the 1e-4 parity
-        # gate below; the f32(6-pass) "highest" tier costs 2x on the MXU.
-        precision="high",
-        d_tile=args.d_tile,
-        union_round=args.union_round,
-    )
-    # warmup / compile
+    # full-batch parity reference — host-only, so it hides inside the
+    # remote compile window (~3s quiet host; minutes-long compiles dwarf it)
     t0 = time.time()
-    results = ranker.closest_docs_batch(claims, k=K)
-    log(f"tpu first batch (compile) in {time.time()-t0:.1f}s")
+    full_refs = cpu_results + [cpu_closest(b) for b in range(n_cpu, NUM_CLAIMS)]
+    log(f"full-batch scipy reference in {time.time()-t0:.1f}s")
+
+    import jax as _jax
+
+    _jax.block_until_ready(pending_first)
+    results = ranker.finalize_closest(pending_first, len(claims))
+    log(f"tpu first batch (compile) in {time.time()-t_compile:.1f}s")
+    os.makedirs(MARKER_DIR, exist_ok=True)
+    with open(
+        _marker_path(
+            NUM_CLAIMS, args.union_round, args.df_threshold, args.d_tile
+        ),
+        "w",
+    ):
+        pass
 
     # parity check vs CPU baseline on the FULL batch (scores equal up to
-    # fp) — the timed subset's refs are reused, the rest computed untimed
-    # (~3s; a subset gate can pass by margin luck, as the dense bench's
-    # 32-query spot check did — see RESULTS.md round-3 precision audit)
-    t0 = time.time()
-    full_refs = cpu_results + [
-        cpu_closest(b) for b in range(n_cpu, NUM_CLAIMS)
-    ]
-    log(f"full-batch scipy reference in {time.time()-t0:.1f}s")
+    # fp) — a subset gate can pass by margin luck, as the dense bench's
+    # 32-query spot check did (RESULTS.md round-3 precision audit)
+    STATE.phase = "parity"
     doc2idx = {d: i for i, d in enumerate(index.doc_ids)}
     mismatches = 0
     for b in range(NUM_CLAIMS):
@@ -157,17 +249,13 @@ def main():
             mismatches += 1
     log(f"parity: {NUM_CLAIMS - mismatches}/{NUM_CLAIMS} queries match")
     if mismatches:
-        raise SystemExit(f"top-k parity failed on {mismatches} queries")
+        STATE.emit(f"top-k parity failed on {mismatches} queries")
+        raise SystemExit(1)
+    STATE.parity_ok = True
 
     # steady-state throughput: pipeline batches (async dispatch), block once.
-    import jax as _jax
-
+    STATE.phase = "steady_state"
     reps = 10
-    async_fn = (
-        ranker._closest_hybrid_async
-        if ranker.mode == "hybrid"
-        else ranker._closest_ell_async
-    )
     # Run rounds until the throughput plateaus: the shared host/tunnel
     # environment warms over the first rounds (lazy uploads, allocator
     # steady state), so a fixed small round count under-reports. Each round
@@ -186,7 +274,6 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"profiler trace failed (ignored): {e!r}")
 
-    tpu_qps = 0.0
     rounds = []
     for r in range(16):
         t0 = time.time()
@@ -196,43 +283,129 @@ def main():
         dt = time.time() - t0
         qps = reps * NUM_CLAIMS / dt
         rounds.append(qps)
-        tpu_qps = max(tpu_qps, qps)
+        STATE.best_qps = max(STATE.best_qps, qps)
         log(f"tpu steady-state round {r}: {qps:.1f} q/s")
         # converged: 3 consecutive rounds within 3% of the best seen
-        if r >= 5 and all(q >= 0.97 * tpu_qps for q in rounds[-3:]):
+        if r >= 5 and all(q >= 0.97 * STATE.best_qps for q in rounds[-3:]):
             log(f"plateau after {r + 1} rounds")
             break
 
-    # Serving-latency view (stderr only — the judged metric stays QPS):
-    # single-batch round trips after the plateau, so no pipelining hides
-    # the per-dispatch latency. p50/p95 over 20 batches.
+    # Judged line FIRST — everything after this is stderr-only diagnostics.
+    STATE.emit()
+
+    # Serving-latency view: single-batch round trips after the plateau, so
+    # no pipelining hides the per-dispatch latency. Two batch sizes: the
+    # throughput batch and a B=128 interactive batch. B=128 is a DIFFERENT
+    # compiled shape (the query slab is [T, B]); it only runs when its
+    # marker shows the shape was warmed before — a cold remote compile
+    # after the judged line could still blow the driver's timeout.
     try:
-        lat = []
-        for _ in range(20):
-            t0 = time.time()
-            pending = async_fn(claims, K)
-            _jax.block_until_ready(pending)
-            np.asarray(jax.tree.leaves(pending)[0])
-            lat.append(time.time() - t0)
-        lat = np.sort(np.array(lat))
-        log(
-            f"single-batch latency (B={NUM_CLAIMS}): "
-            f"p50 {lat[len(lat)//2]*1e3:.1f} ms, "
-            f"p95 {lat[int(len(lat)*0.95)]*1e3:.1f} ms"
-        )
+        for B in (NUM_CLAIMS, 128):
+            if B != NUM_CLAIMS:
+                m = _marker_path(
+                    f"lat{B}", args.union_round, args.df_threshold, args.d_tile
+                )
+                if not os.path.exists(m):
+                    if os.environ.get("IRCL_BENCH_WARM_LATENCY"):
+                        pass  # warming session: compile it now, drop marker
+                    else:
+                        log(f"latency B={B}: shape not warmed, skipping")
+                        continue
+            sub = claims[:B]
+            lat = []
+            for _ in range(20):
+                t0 = time.time()
+                pending = async_fn(sub, K)
+                _jax.block_until_ready(pending)
+                np.asarray(jax.tree.leaves(pending)[0])
+                lat.append(time.time() - t0)
+            lat = np.sort(np.array(lat))
+            log(
+                f"single-batch latency (B={B}): "
+                f"p50 {lat[len(lat)//2]*1e3:.1f} ms, "
+                f"p95 {lat[int(len(lat)*0.95)]*1e3:.1f} ms"
+            )
+            if B != NUM_CLAIMS:
+                with open(
+                    _marker_path(
+                        f"lat{B}",
+                        args.union_round,
+                        args.df_threshold,
+                        args.d_tile,
+                    ),
+                    "w",
+                ):
+                    pass
     except Exception as e:  # noqa: BLE001 — never risk the judged line
         log(f"latency probe failed (ignored): {e!r}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "sparse_tfidf_retrieval_qps_per_chip",
-                "value": round(tpu_qps, 1),
-                "unit": "queries/s",
-                "vs_baseline": round(tpu_qps / cpu_qps, 2),
-            }
-        )
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # None = the ranker's auto resolution (1024 below the fused gate since
+    # round 3 — probe_slab_tiles/probe_light_tiles; was 256 in round 2)
+    ap.add_argument("--d-tile", type=int, default=None)
+    # df=24: measured best at this corpus (26.8K best-of vs 22.7K at 32 in
+    # the same session; sweep_df plateau 16-32). The autotuner's pick (16)
+    # is inside the plateau's noise band.
+    ap.add_argument("--df-threshold", type=int, default=24)
+    # batch-size knob. Hardware A/B (round 3, post-outage, alternating):
+    # 4096 amortizes fixed per-dispatch cost past the union growth —
+    # 24.2-24.6K q/s across 4 runs vs 21.0-21.2K at 2048 (same session);
+    # 8192 regresses (~23.7K, bigger union + 6.5min compile). Default 4096,
+    # with a cold-cache fallback to a previously-warmed smaller batch
+    # (see _resolve_claims) when the flag is not given explicitly.
+    ap.add_argument("--claims", type=int, default=None)
+    # union-width knob: pow2 padding (None) vs ceil to a 512-multiple.
+    # Hardware A/B (round 3, alternating): at B=2048 round512 is +12.5%
+    # (23.8K vs 21.0K — live union 5530 pads to 5632 instead of 8192); at
+    # B=4096 it is noise-neutral (24.4-24.6K both arms) but never does
+    # more heavy work than pow2, so it stays the default.
+    ap.add_argument("--union-round", type=int, default=512)
+    ap.add_argument(
+        "--trace", type=str, default=None,
+        help="capture a jax.profiler trace of one steady-state round into "
+        "this dir (best-effort: tolerated to fail through the axon tunnel)",
     )
+    args = ap.parse_args()
+
+    def salvage(signum, frame):  # noqa: ARG001 — signal handler signature
+        log(f"signal {signum} at phase={STATE.phase}: emitting best-so-far")
+        STATE.emit(f"killed by signal {signum}")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, salvage)
+    signal.signal(signal.SIGINT, salvage)
+    # Optional self-deadline (seconds): emit and exit 0 before an external
+    # timeout would SIGKILL. Off by default — SIGTERM salvage is primary.
+    deadline = float(os.environ.get("IRCL_BENCH_DEADLINE", "0") or 0)
+    if deadline > 0:
+        signal.signal(signal.SIGALRM, salvage)
+        signal.alarm(int(deadline))
+
+    def run():
+        try:
+            worker(args)
+        except SystemExit:
+            pass
+        except BaseException as e:  # noqa: BLE001 — must still emit a line
+            log(f"bench worker failed at phase={STATE.phase}: {e!r}")
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            STATE.emit(f"{type(e).__name__} at phase={STATE.phase}")
+        finally:
+            STATE.done.set()
+
+    th = threading.Thread(target=run, daemon=True, name="bench-worker")
+    th.start()
+    # Main thread stays free so signal handlers always run promptly even
+    # while the worker blocks inside a C-level tunnel transfer.
+    while not STATE.done.wait(timeout=0.5):
+        pass
+    STATE.emit()  # no-op if the worker already printed
 
 
 if __name__ == "__main__":

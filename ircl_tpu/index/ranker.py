@@ -539,21 +539,37 @@ class TfidfRanker:
             )
         return scores, doc_idx
 
+    def finalize_closest(
+        self, pending, n: int
+    ) -> List[Tuple[List[str], np.ndarray]]:
+        """Turn a pending async result (from ``_closest_hybrid_async`` /
+        ``_closest_ell_async``) into ``closest_docs_batch``'s output format.
+        Lets callers overlap host work with the device dispatch and settle
+        later (bench.py computes its scipy parity reference while the first
+        batch compiles)."""
+        if self.mode == "hybrid":
+            scores, doc_idx = self._finish_hybrid(pending, n)
+        else:
+            scores, doc_idx = pending
+            scores = np.asarray(scores)[:n]
+            doc_idx = np.asarray(doc_idx)[:n]
+        out = []
+        for b in range(n):
+            keep = doc_idx[b] >= 0
+            ids = [self.dev.doc_ids[i] for i in doc_idx[b][keep]]
+            out.append((ids, scores[b][keep]))
+        return out
+
     def closest_docs_batch(
         self, queries: Sequence[str], k: int = 5
     ) -> List[Tuple[List[str], np.ndarray]]:
         """Top-k (doc_ids, scores) per query. Exact w.r.t. the sparse matvec."""
         if self.mode in ("ell", "hybrid"):
             if self.mode == "ell":
-                scores, doc_idx = self._closest_ell(queries, k)
+                pending = self._closest_ell_async(queries, k)
             else:
-                scores, doc_idx = self._closest_hybrid(queries, k)
-            out = []
-            for b in range(len(queries)):
-                keep = doc_idx[b] >= 0
-                ids = [self.dev.doc_ids[i] for i in doc_idx[b][keep]]
-                out.append((ids, scores[b][keep]))
-            return out
+                pending = self._closest_hybrid_async(queries, k)
+            return self.finalize_closest(pending, len(queries))
         docs, contribs, nnz_cap = self._gather_ragged(queries)
         scores, doc_idx = ragged.segment_topk(docs, contribs, k=min(k, max(1, nnz_cap)))
         scores = np.asarray(scores)

@@ -98,25 +98,13 @@ def host_sparse_scorer(hash_size: int = 1 << 18, ngram: int = 2):
     return score
 
 
-def retrieve(
-    claims: Sequence[str],
-    doc_ranker: TfidfRanker,
+def gather_candidates(
+    all_doc_ids: Sequence[List[str]],
     doc_sentences: Dict[str, List[str]],
-    sentence_scorer: SentenceScorer,
-    k_docs: int = 5,
-    k_sents: int = 5,
-    batch_size: int = 64,
-) -> RetrievalResult:
-    """Run the two-stage pipeline over a claim list."""
-    all_doc_ids: List[List[str]] = []
-    all_doc_scores: List[np.ndarray] = []
-    for i in range(0, len(claims), batch_size):
-        batch = list(claims[i : i + batch_size])
-        for ids, scores in doc_ranker.closest_docs_batch(batch, k=k_docs):
-            all_doc_ids.append(ids)
-            all_doc_scores.append(scores)
-
-    # Stage 2 candidates: all sentences of the retrieved docs.
+) -> Tuple[List[List[str]], List[List[Tuple[str, int]]]]:
+    """Per claim: candidate sentences of its retrieved docs, plus their
+    (doc_id, sent_id) keys. Shared by the offline ``retrieve`` pipeline and
+    the two-stage serving surface (``serve.py``)."""
     cand_sents: List[List[str]] = []
     cand_keys: List[List[Tuple[str, int]]] = []
     for ids in all_doc_ids:
@@ -136,6 +124,29 @@ def retrieve(
                     keys.append((d, si))
         cand_sents.append(sents)
         cand_keys.append(keys)
+    return cand_sents, cand_keys
+
+
+def retrieve(
+    claims: Sequence[str],
+    doc_ranker: TfidfRanker,
+    doc_sentences: Dict[str, List[str]],
+    sentence_scorer: SentenceScorer,
+    k_docs: int = 5,
+    k_sents: int = 5,
+    batch_size: int = 64,
+) -> RetrievalResult:
+    """Run the two-stage pipeline over a claim list."""
+    all_doc_ids: List[List[str]] = []
+    all_doc_scores: List[np.ndarray] = []
+    for i in range(0, len(claims), batch_size):
+        batch = list(claims[i : i + batch_size])
+        for ids, scores in doc_ranker.closest_docs_batch(batch, k=k_docs):
+            all_doc_ids.append(ids)
+            all_doc_scores.append(scores)
+
+    # Stage 2 candidates: all sentences of the retrieved docs.
+    cand_sents, cand_keys = gather_candidates(all_doc_ids, doc_sentences)
 
     scores = sentence_scorer(claims, cand_sents)
 

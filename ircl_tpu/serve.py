@@ -1,22 +1,30 @@
-"""Production serving endpoint for the sparse retrieval engine.
+"""Production serving endpoint for the retrieval engines.
 
 The reference serves its ranker in-process, one query (or ad-hoc
 ThreadPool batch) at a time
 (`/root/reference/preprocessing/drqa/retriever/tfidf_doc_ranker.py:100-126`);
-it has no service surface at all. This module gives the batch-first
-`TfidfRanker` one, applying every rule from docs/SERVING.md:
+it has no service surface at all, and its dense sentence re-rank is
+commented out (`/root/reference/src/evaluation.py:105-116`). This module
+gives the batch-first `TfidfRanker` one — plus an optional stage-2 sentence
+re-ranker — applying every rule from docs/SERVING.md:
 
-- **Pinned compile shapes.** The engine compiles one executable per batch
-  size, so `RetrievalService` pads every request up to the configured
-  `batch_size` (with empty queries — zero terms, zero scores) and splits
-  larger requests into `batch_size` chunks. Steady-state serving therefore
-  reuses a single executable regardless of request size, and `warmup()`
-  pays the one compile (plus the lazy index upload) before traffic.
+- **Pinned compile shapes.** The engine compiles one executable per
+  (batch size, k) pair, so `RetrievalService` pads every request up to the
+  configured `batch_size` (with empty queries — zero terms, zero scores),
+  splits larger requests into `batch_size` chunks, and always computes at a
+  fixed `k_max`, slicing the requested `k` host-side. Steady-state serving
+  therefore reuses a single executable regardless of request size OR
+  requested k, and `warmup()` pays the one compile (plus the lazy index
+  upload) for every configured engine before traffic. One caveat remains:
+  a request batch whose term union exceeds `fixed_union_cap` (a floor, not
+  a cap) still triggers a fresh remote XLA compile — size `union_cap` for
+  the worst-case live traffic batch.
 - **Stdlib-only transport.** `serve_http` is a `ThreadingHTTPServer` with
   `POST /search` and `GET /healthz`; `serve_stdin` is a JSONL
-  request-per-line loop for piping. Both are thin shims over
-  `RetrievalService.search` — anything heavier (gRPC, batching across
-  connections) belongs in front of the same class.
+  request-per-line loop for piping. Both parse requests through ONE shared
+  validator (`parse_request`), so malformed input — wrong JSON type, bare
+  string queries, non-int k — produces an error reply on either transport
+  instead of killing the connection or the loop.
 
 One core serves the host side (this box), so the HTTP server's threading
 exists to keep `/healthz` responsive during a search, not for parallel
@@ -28,10 +36,47 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from ircl_tpu.index.build import CountIndex
 from ircl_tpu.index.ranker import TfidfRanker
+
+# Requests above this are rejected with 413: a 1-core shared host must not
+# be asked to buffer arbitrarily large bodies.
+MAX_BODY_BYTES = 8 << 20
+
+
+def parse_request(req) -> Tuple[List[str], Optional[int], Optional[int]]:
+    """Validate a decoded request object into (queries, k, k_sents).
+
+    The ONE parser both transports use. Raises ValueError (never TypeError)
+    on any malformed shape, so the transports' error paths stay uniform.
+    """
+    if not isinstance(req, dict):
+        raise ValueError(f"request must be a JSON object, got {type(req).__name__}")
+    if "queries" in req:
+        queries = req["queries"]
+    elif "query" in req:
+        queries = [req["query"]]
+    else:
+        raise ValueError("request needs 'queries' (list of str) or 'query' (str)")
+    if not isinstance(queries, list) or not all(
+        isinstance(q, str) for q in queries
+    ):
+        raise ValueError("queries must be a list of strings")
+
+    def _int_field(name):
+        v = req.get(name)
+        if v is None:
+            return None
+        # bool is an int subclass; reject it explicitly
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(f"{name} must be an integer, got {v!r}")
+        if v <= 0:
+            raise ValueError(f"{name} must be positive, got {v}")
+        return v
+
+    return queries, _int_field("k"), _int_field("k_sents")
 
 
 class RetrievalService:
@@ -39,8 +84,14 @@ class RetrievalService:
 
     `search` accepts any number of queries and always dispatches device
     batches of exactly `batch_size` (padding the tail with empty queries,
-    which vectorize to zero terms and are dropped from the output), so the
-    compile key never changes after `warmup()`.
+    which vectorize to zero terms and are dropped from the output) at a
+    fixed `k_max` (requested k sliced host-side), so the compile key never
+    changes after `warmup()`.
+
+    Optional stage 2: pass `doc_sentences` (doc_id -> sentence list) and a
+    `sentence_scorer` (`pipeline.retrieve.SentenceScorer`) to enable
+    `search_sentences` — the dense re-rank the reference left commented out
+    (`src/evaluation.py:105-116`), as a serving surface.
     """
 
     def __init__(
@@ -48,44 +99,123 @@ class RetrievalService:
         ranker: TfidfRanker,
         batch_size: int = 256,
         default_k: int = 5,
+        k_max: Optional[int] = None,
+        doc_sentences: Optional[Dict[str, List[str]]] = None,
+        sentence_scorer=None,
+        default_k_sents: int = 5,
     ):
         if batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {batch_size}")
+        if default_k <= 0:
+            raise ValueError(f"default_k must be positive, got {default_k}")
         self.ranker = ranker
         self.batch_size = batch_size
         self.default_k = default_k
+        # Every device call computes top-k_max; the requested k is a
+        # host-side slice. k > k_max is clamped (documented), never a
+        # recompile. Exact engine: the top-k prefix of a top-k_max result
+        # is the top-k result.
+        self.k_max = min(
+            max(default_k, k_max if k_max is not None else 2 * default_k),
+            max(1, len(ranker.dev.doc_ids)),
+        )
+        self.doc_sentences = doc_sentences
+        self.sentence_scorer = sentence_scorer
+        self.default_k_sents = default_k_sents
         self._lock = threading.Lock()
 
     @property
     def num_docs(self) -> int:
         return len(self.ranker.dev.doc_ids)
 
-    def warmup(self) -> None:
-        """Pay the one compile + lazy index upload before serving traffic."""
-        self.search(["warmup"], k=self.default_k)
+    @property
+    def has_sentence_stage(self) -> bool:
+        return self.sentence_scorer is not None and self.doc_sentences is not None
 
-    def search(
-        self, queries: Sequence[str], k: Optional[int] = None
-    ) -> List[List[dict]]:
-        """Top-k `{"doc_id", "score"}` lists, one per query, score-desc."""
+    def warmup(self) -> None:
+        """Pay the one compile + lazy index upload (and, when stage 2 is
+        configured, the encoder compile) before serving traffic."""
+        self.search(["warmup"])
+        if self.has_sentence_stage:
+            self.sentence_scorer(["warmup"], [["warmup sentence"]])
+
+    def _validate(self, queries, k: Optional[int]) -> int:
+        if isinstance(queries, str) or not all(
+            isinstance(q, str) for q in queries
+        ):
+            # a bare string would iterate per-character and silently return
+            # nonsense — reject it here so BOTH transports and direct
+            # callers get the same contract
+            raise ValueError("queries must be a sequence of strings")
         k = self.default_k if k is None else k
+        if isinstance(k, bool) or not isinstance(k, int):
+            raise ValueError(f"k must be an integer, got {k!r}")
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
-        k = min(k, self.num_docs)
-        out: List[List[dict]] = []
+        return min(k, self.k_max)
+
+    def _ranked(self, queries: Sequence[str], k: int):
+        """Pinned-shape stage 1: (doc_ids, scores) per query, top-k."""
+        out = []
         with self._lock:
             for lo in range(0, len(queries), self.batch_size):
                 chunk = list(queries[lo : lo + self.batch_size])
                 n_real = len(chunk)
                 chunk += [""] * (self.batch_size - n_real)
-                ranked = self.ranker.closest_docs_batch(chunk, k=k)
-                for ids, scores in ranked[:n_real]:
-                    out.append(
-                        [
-                            {"doc_id": d, "score": float(s)}
-                            for d, s in zip(ids, scores)
-                        ]
-                    )
+                ranked = self.ranker.closest_docs_batch(chunk, k=self.k_max)
+                out.extend(
+                    (ids[:k], scores[:k]) for ids, scores in ranked[:n_real]
+                )
+        return out
+
+    def search(
+        self, queries: Sequence[str], k: Optional[int] = None
+    ) -> List[List[dict]]:
+        """Top-k `{"doc_id", "score"}` lists, one per query, score-desc."""
+        k = self._validate(queries, k)
+        return [
+            [{"doc_id": d, "score": float(s)} for d, s in zip(ids, scores)]
+            for ids, scores in self._ranked(queries, k)
+        ]
+
+    def search_sentences(
+        self,
+        queries: Sequence[str],
+        k: Optional[int] = None,
+        k_sents: Optional[int] = None,
+    ) -> List[List[dict]]:
+        """Two-stage search: sparse top-k docs, then the sentence scorer
+        re-ranks every sentence of those docs. Per query, a score-desc list
+        of `{"doc_id", "sent_id", "sentence", "score"}`."""
+        import numpy as np
+
+        from ircl_tpu.pipeline.retrieve import gather_candidates
+
+        if not self.has_sentence_stage:
+            raise ValueError(
+                "sentence search unavailable: service was built without a "
+                "sentence_scorer/doc_sentences stage"
+            )
+        k = self._validate(queries, k)
+        k_sents = self.default_k_sents if k_sents is None else k_sents
+        doc_ids = [ids for ids, _ in self._ranked(queries, k)]
+        cand_sents, cand_keys = gather_candidates(doc_ids, self.doc_sentences)
+        scores = self.sentence_scorer(list(queries), cand_sents)
+        out: List[List[dict]] = []
+        for sents, keys, sc in zip(cand_sents, cand_keys, scores):
+            sc = np.asarray(sc)
+            order = np.argsort(-sc)[:k_sents]
+            out.append(
+                [
+                    {
+                        "doc_id": keys[j][0],
+                        "sent_id": keys[j][1],
+                        "sentence": sents[j],
+                        "score": float(sc[j]),
+                    }
+                    for j in order
+                ]
+            )
         return out
 
 
@@ -98,12 +228,13 @@ def make_service(
     union_round: Optional[int] = 512,
     split_path: Optional[str] = None,
     mode: str = "auto",
+    k_max: Optional[int] = None,
 ) -> RetrievalService:
     """Load a saved index (tf-idf npz from `cli build-index`) into a
     serving-configured ranker: shapes pinned (`fixed_max_terms`,
-    `fixed_union_cap`, `union_round`) so steady state is one executable,
-    df-split optionally preloaded (`index/split.py::save_split`) to skip
-    the cold-start rebuild."""
+    `fixed_union_cap`, `union_round`, service-level `k_max`) so steady
+    state is one executable, df-split optionally preloaded
+    (`index/split.py::save_split`) to skip the cold-start rebuild."""
     index = CountIndex.load(index_path)
     split = None
     if split_path:
@@ -118,7 +249,20 @@ def make_service(
         union_round=union_round,
         split=split,
     )
-    return RetrievalService(ranker, batch_size=batch_size, default_k=default_k)
+    return RetrievalService(
+        ranker, batch_size=batch_size, default_k=default_k, k_max=k_max
+    )
+
+
+def _handle(service: RetrievalService, req) -> dict:
+    """Shared request execution for both transports (already-decoded JSON
+    in, reply payload out; raises ValueError on any malformed request)."""
+    queries, k, k_sents = parse_request(req)
+    if req.get("sentences") or k_sents is not None:
+        return {
+            "results": service.search_sentences(queries, k=k, k_sents=k_sents)
+        }
+    return {"results": service.search(queries, k=k)}
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -144,17 +288,30 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._reply(400, {"error": "bad Content-Length"})
+            return
+        if n > MAX_BODY_BYTES:
+            # drain (bounded) so the client can finish writing and read the
+            # 413 instead of dying on a broken pipe mid-upload
+            left = min(n, 4 * MAX_BODY_BYTES)
+            while left > 0:
+                got = self.rfile.read(min(left, 1 << 20))
+                if not got:
+                    break
+                left -= len(got)
+            self.close_connection = True
+            self._reply(
+                413, {"error": f"body too large ({n} > {MAX_BODY_BYTES})"}
+            )
+            return
+        try:
             req = json.loads(self.rfile.read(n) or b"{}")
-            queries = req["queries"] if "queries" in req else [req["query"]]
-            if not isinstance(queries, list) or not all(
-                isinstance(q, str) for q in queries
-            ):
-                raise ValueError("queries must be a list of strings")
-            results = self.service.search(queries, k=req.get("k"))
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            payload = _handle(self.service, req)
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
-        self._reply(200, {"results": results})
+        self._reply(200, payload)
 
     def log_message(self, fmt, *args):  # quiet: metrics go to the caller
         pass
@@ -171,9 +328,10 @@ def serve_http(
 
 def serve_stdin(service: RetrievalService, infile, outfile) -> int:
     """JSONL loop: one request object per line (`{"queries": [...], "k": n}`
-    or `{"query": "..."}`), one `{"results": ...}` reply line each; blank
-    lines skipped, malformed lines get an `{"error": ...}` line. Returns
-    the number of requests served."""
+    or `{"query": "..."}`; add `"sentences": true` / `"k_sents": n` for the
+    two-stage reply), one `{"results": ...}` reply line each; blank lines
+    skipped, malformed lines get an `{"error": ...}` line and the loop
+    continues. Returns the number of requests served."""
     served = 0
     for line in infile:
         line = line.strip()
@@ -181,11 +339,10 @@ def serve_stdin(service: RetrievalService, infile, outfile) -> int:
             continue
         try:
             req = json.loads(line)
-            queries = req["queries"] if "queries" in req else [req["query"]]
-            results = service.search(queries, k=req.get("k"))
-            outfile.write(json.dumps({"results": results}) + "\n")
+            payload = _handle(service, req)
+            outfile.write(json.dumps(payload) + "\n")
             served += 1
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             outfile.write(json.dumps({"error": str(e)}) + "\n")
         outfile.flush()
     return served

@@ -150,6 +150,143 @@ def test_http_bad_requests(http_service):
     assert e.value.code == 404
 
 
+def test_http_malformed_types_get_400_not_connection_abort(http_service):
+    # Valid JSON of the wrong TYPE (non-dict body, string k, bare-string
+    # queries, bool k) must produce HTTP 400 — round-3 advisor finding:
+    # these raised TypeError and aborted the connection with no response.
+    base, _ = http_service
+    for payload in (
+        b"[1, 2]",
+        b'"just a string"',
+        b'{"queries": ["x"], "k": "three"}',
+        b'{"queries": "moon"}',
+        b'{"queries": ["x"], "k": true}',
+        b'{"query": "x", "k_sents": "two"}',
+    ):
+        req = urllib.request.Request(f"{base}/search", data=payload)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400, payload
+
+
+def test_http_body_size_limit(http_service):
+    base, _ = http_service
+    req = urllib.request.Request(f"{base}/search", data=b"x" * (9 << 20))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 413
+
+
+def test_stdin_malformed_types_keep_loop_alive(ranker):
+    # Advisor finding: a valid-JSON non-dict line (or non-int k) raised
+    # TypeError that ESCAPED the loop, killing serving for later lines.
+    svc = RetrievalService(ranker, batch_size=2, default_k=2)
+    lines = [
+        "[1, 2]",
+        json.dumps({"queries": "moon"}),  # bare string: per-char iteration
+        json.dumps({"queries": ["x"], "k": "three"}),
+        json.dumps({"query": QUERIES[1]}),  # loop must still reach this
+    ]
+    out = io.StringIO()
+    served = serve_stdin(svc, io.StringIO("\n".join(lines) + "\n"), out)
+    assert served == 1
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert [("error" in r) for r in replies] == [True, True, True, False]
+    assert replies[3]["results"][0][0]["doc_id"] == "Mars"
+
+
+def test_search_rejects_bare_string_queries(ranker):
+    # Direct-caller contract, not just transport-level: a bare string would
+    # silently score each CHARACTER as a query.
+    svc = RetrievalService(ranker, batch_size=2, default_k=2)
+    with pytest.raises(ValueError):
+        svc.search("moon")
+
+
+def test_k_is_pinned_server_side(ranker):
+    # Requests with different k share one compiled shape: the service
+    # computes at k_max and slices host-side. Result correctness across a
+    # k sweep is what we can assert portably.
+    svc = RetrievalService(ranker, batch_size=4, default_k=3, k_max=5)
+    assert svc.k_max == 5
+    for k in (1, 2, 3, 5, 100):
+        got = svc.search(QUERIES, k=k)
+        _assert_matches_direct(got, ranker, QUERIES, min(k, 5))
+
+
+def _sentences():
+    return {d: [s.strip() for s in t.split(" in ")] for d, t in DOCS.items()}
+
+
+@pytest.fixture(scope="module")
+def two_stage(ranker):
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
+
+    return RetrievalService(
+        ranker,
+        batch_size=4,
+        default_k=3,
+        doc_sentences=_sentences(),
+        sentence_scorer=host_sparse_scorer(),
+        default_k_sents=2,
+    )
+
+
+def test_two_stage_sentence_search(two_stage):
+    two_stage.warmup()  # must cover both engines without error
+    out = two_stage.search_sentences(QUERIES, k=3, k_sents=2)
+    assert len(out) == len(QUERIES)
+    for per_q in out:
+        assert len(per_q) <= 2
+        scores = [r["score"] for r in per_q]
+        assert scores == sorted(scores, reverse=True)
+        for r in per_q:
+            assert r["sentence"] in _sentences()[r["doc_id"]]
+            assert _sentences()[r["doc_id"]][r["sent_id"]] == r["sentence"]
+    # the top sentence for the rocket claim comes from the Saturn_V doc
+    assert out[0][0]["doc_id"] == "Saturn_V"
+
+
+def test_two_stage_over_http_and_stdin(two_stage):
+    server = serve_http(two_stage, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps(
+                {"queries": QUERIES[:1], "k_sents": 2}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            results = json.loads(r.read())["results"]
+        assert results[0][0]["doc_id"] == "Saturn_V"
+        assert "sentence" in results[0][0]
+    finally:
+        server.shutdown()
+
+    out = io.StringIO()
+    serve_stdin(
+        two_stage,
+        io.StringIO(json.dumps({"query": QUERIES[0], "sentences": True}) + "\n"),
+        out,
+    )
+    reply = json.loads(out.getvalue())
+    assert reply["results"][0][0]["doc_id"] == "Saturn_V"
+
+
+def test_sentence_search_unconfigured_is_a_request_error(ranker):
+    svc = RetrievalService(ranker, batch_size=2, default_k=2)
+    out = io.StringIO()
+    serve_stdin(
+        svc,
+        io.StringIO(json.dumps({"query": "x", "sentences": True}) + "\n"),
+        out,
+    )
+    assert "error" in json.loads(out.getvalue())
+
+
 def test_stdin_jsonl_loop(ranker):
     svc = RetrievalService(ranker, batch_size=4, default_k=2)
     lines = [
