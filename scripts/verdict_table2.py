@@ -78,6 +78,23 @@ def main():
     # different seeds, keep the params with the best final-phase val F1,
     # evaluate the dev table once on those.
     ap.add_argument("--restarts", type=int, default=3)
+    # Serving-order alignment: probability that phase C places the gold
+    # sentence FIRST in the evidence window, matching the serving
+    # distribution (retrieved evidence is score-ordered and the gold
+    # sentence is at rank 0 for 97-99% of dev claims — RESULTS.md link 1).
+    # The round-3 default (uniform gold position) forces a position-
+    # invariant comparison circuit that a random-init 2L model cannot
+    # learn; rank-realistic ordering reduces the wide-window task to
+    # "compare the claim against the leading sentence".
+    ap.add_argument("--phase-c-gold-first", type=float, default=0.0)
+    # Train-time replay of ACTUAL retrieval output: phase C's evidence is
+    # the tf-idf pipeline's top-k sentences for each TRAIN claim (score
+    # order, natural val-trap rate, natural same-doc mix), k sampled
+    # uniformly from {1, 3, 5} per example so val selection tracks every
+    # eval window. Gold presence rides on the real recall@k (~0.99), so
+    # supervision is intact; the k=1 draws reproduce the pure gold format
+    # (gold at rank 0), replacing the explicit gold_frac replay.
+    ap.add_argument("--phase-c-retrieved", action="store_true")
     ap.add_argument("--out", default="RESULTS.md")
     args = ap.parse_args()
 
@@ -144,6 +161,11 @@ def main():
     # The reference needs no curriculum because pretrained roberta absorbs
     # the format shift (src/QA/model.py:13).
     res["train_distractors"] = args.train_distractors
+    res["phase_c"] = (
+        "retrieved_k135"
+        if args.phase_c_retrieved
+        else f"sampled(gold_first={args.phase_c_gold_first})"
+    )
 
     import re as _re
 
@@ -157,7 +179,7 @@ def main():
 
     def build_aug(same_doc_frac: float, seed: int, fixed_n: bool = False,
                   refute_val_trap: float = 0.0, gold_frac: float = 0.0,
-                  mid_frac: float = 0.0):
+                  mid_frac: float = 0.0, gold_first: float = 0.0):
         """Gold evidence + distractor sentences.
 
         ``refute_val_trap``: probability that a REFUTES claim's evidence
@@ -216,10 +238,33 @@ def main():
                     d = all_ids[int(rng_t.integers(len(all_ids)))]
                 picks.append((d, int(rng_t.integers(len(doc_sents[d])))))
             rng_t.shuffle(picks)
-            pos = int(rng_t.integers(0, n_d + 1))
+            if gold_first > 0.0 and rng_t.random() < gold_first:
+                pos = 0  # serving-order alignment: gold leads (rank 0)
+            else:
+                pos = int(rng_t.integers(0, n_d + 1))
             override.append(picks[:pos] + gold + picks[pos:])
         return build_examples(
             train_claims, doc_sents, evidence_override=override
+        )
+
+    _ranker_box = {}
+
+    def get_ranker():
+        if "r" not in _ranker_box:
+            store = MemoryDocStore(
+                {d: r["text"] for d, r in wiki.docs.items()}
+            )
+            index = tfidf_transform(
+                build_count_index(store, ngram=2, hash_size=1 << 22)
+            )
+            _ranker_box["r"] = TfidfRanker(index)
+        return _ranker_box["r"]
+
+    def retrieve_sentences(claim_objs):
+        """Full two-stage retrieval (the serving pipeline) over claims."""
+        return retrieve(
+            [c.claim for c in claim_objs], get_ranker(), doc_sents,
+            host_sparse_scorer(), k_docs=5, k_sents=5, batch_size=256,
         )
 
     train_ex_gold = build_examples(train_claims, doc_sents)
@@ -233,20 +278,45 @@ def main():
         # phases run at 1/3 LR (full LR forgets: B-val decayed 0.77 -> 0.74
         # over a phase) and return their best-val epoch (C peaked mid-phase
         # at 0.843 then slid to 0.808).
+        if args.phase_c_retrieved:
+            # Phase C = the serving distribution itself: top-k retrieved
+            # sentences per train claim, k ~ U{1,3,5} (score order, natural
+            # trap rate / same-doc mix / gold rank). k=1 draws reproduce
+            # the pure gold format via recall@1~0.99, so no explicit
+            # gold_frac replay is needed.
+            t_r = time.time()
+            r_train = retrieve_sentences(train_claims)
+            rng_k = np.random.default_rng(13)
+            ks = rng_k.choice([1, 3, 5], size=len(train_claims))
+            phase_c_ex = build_examples(
+                train_claims, doc_sents,
+                evidence_override=[
+                    sents[: int(k)]
+                    for sents, k in zip(r_train.sentences, ks)
+                ],
+            )
+            print(
+                f"phase-C retrieval replay built in {time.time()-t_r:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+        else:
+            phase_c_ex = build_aug(
+                0.5, 13, fixed_n=True,
+                refute_val_trap=args.phase_c_trap,
+                gold_frac=0.25,
+                gold_first=args.phase_c_gold_first,
+            )
         phases = [
             (train_ex_gold, args.epochs, 0.90, 3e-4, False),
             (build_aug(0.0, 11), max(args.epochs // 2, 1), None, 1e-4, True),
             (
                 # mid_frac MEASURED NEGATIVE (2026-08): adding 25% of the
-                # k3-window format to phase C diluted it — every row fell
-                # (gold 0.916 -> 0.876, k3 0.700 -> 0.666, k5 0.648 ->
-                # 0.628, same 3 seeds). The gold_frac=0.25 replay alone is
-                # the best measured configuration.
-                build_aug(
-                    0.5, 13, fixed_n=True,
-                    refute_val_trap=args.phase_c_trap,
-                    gold_frac=0.25,
-                ),
+                # k3-window format to (distractor-sampled) phase C diluted
+                # it — every row fell (gold 0.916 -> 0.876, k3 0.700 ->
+                # 0.666, k5 0.648 -> 0.628, same 3 seeds). gold_frac=0.25
+                # replay alone was the best sampled-distractor config;
+                # see --phase-c-retrieved / --phase-c-gold-first above.
+                phase_c_ex,
                 max(args.epochs // 2, 1),
                 None,
                 1e-4,
@@ -338,17 +408,7 @@ def main():
     doc_ids = list(doc_sents.keys())
 
     def tfidf_override():
-        store = MemoryDocStore(
-            {d: r["text"] for d, r in wiki.docs.items()}
-        )
-        index = tfidf_transform(
-            build_count_index(store, ngram=2, hash_size=1 << 22)
-        )
-        ranker = TfidfRanker(index)
-        r = retrieve(
-            [c.claim for c in dev_claims], ranker, doc_sents,
-            host_sparse_scorer(), k_docs=5, k_sents=5, batch_size=256,
-        )
+        r = retrieve_sentences(dev_claims)
         # Measure what this retrieval achieves ON THIS corpus, so the F1
         # delta vs gold is attributable (retrieval miss vs classifier).
         ranks = []
