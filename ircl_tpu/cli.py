@@ -51,7 +51,22 @@ def cmd_fetch(args):
     cfg = _load(args)
     from ircl_tpu.corpus.fetch import fetch_all
 
-    paths = fetch_all(cfg.data.data_dir, force=args.force)
+    resources = checksums = None
+    if args.resources:
+        # alternate URL table (mirror / fixture server): either a flat
+        # {name: url} map or {"resources": {...}, "checksums": {...}}
+        with open(args.resources) as f:
+            tbl = json.load(f)
+        if "resources" in tbl:
+            resources, checksums = tbl["resources"], tbl.get("checksums")
+        else:
+            resources = tbl
+    paths = fetch_all(
+        cfg.data.data_dir,
+        resources=resources,
+        checksums=checksums,
+        force=args.force,
+    )
     for name, path in paths.items():
         print(f"{name} -> {path}")
 
@@ -401,6 +416,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("fetch")
     f.add_argument("--force", action="store_true", help="re-download")
+    f.add_argument(
+        "--resources", type=str, default=None,
+        help="JSON file with an alternate URL table (mirror/fixture): "
+        "{name: url} or {'resources': {...}, 'checksums': {...}}",
+    )
     f.set_defaults(fn=cmd_fetch)
 
     sub.add_parser("prepare").set_defaults(fn=cmd_prepare)
