@@ -74,6 +74,13 @@ def main(argv=None):
         "chunk re-splits",
     )
     ap.add_argument(
+        "--select-rescore", type=int, default=0,
+        help="staged engine: >0 selects this many candidates/query from a "
+        "1-pass bf16 scores matmul and rescores them exactly (halves the "
+        "[B, N] HBM traffic). Approximate selection — the parity gate "
+        "below certifies (or fails) every run",
+    )
+    ap.add_argument(
         "--parity-queries", type=int, default=256,
         help="queries checked against the scipy reference (capped at "
         "--batch; 32 are also used to time the CPU baseline)",
@@ -162,6 +169,7 @@ def main(argv=None):
             index, chunk_docs=args.chunk_docs, df_threshold=256,
             width_buckets=2, precision="high", fixed_max_terms=24,
             d_tile=args.d_tile, split_cache_dir=args.split_cache,
+            select_rescore=args.select_rescore,
         )
         log(
             f"chunked device index built in {time.time()-t0:.0f}s "
@@ -171,6 +179,7 @@ def main(argv=None):
         ranker = TfidfRanker(
             index, mode="hybrid", df_threshold=256, width_buckets=2,
             precision="high", fixed_max_terms=24, d_tile=args.d_tile,
+            select_rescore=args.select_rescore,
         )
         log(f"device index built in {time.time()-t0:.0f}s (K_h={ranker._split.heavy.k_width})")
 

@@ -195,6 +195,14 @@ class TfidfRanker:
         #   serving cold-start skips the 15-26s (at 1M docs) df-split
         #   rebuild; must match the index (num_docs/hash_size checked) and
         #   overrides df_threshold with the split's own
+        select_rescore: int = 0,  # staged bucketed engine only (>FUSED gate):
+        #   >0 selects that many candidates/query from a 1-pass bf16 scores
+        #   matmul and rescores them exactly (f32 slab-column contraction +
+        #   compensated light totals) — halves the [B, N] HBM traffic that
+        #   bounds the 1M path. Candidate selection is approximate
+        #   (probe_bf16_select: true top-5 ⊆ bf16 top-16 on 4096/4096);
+        #   verify with a parity gate where certainty matters (bench_scale
+        #   gates every run). 16-32 are sensible values.
         union_round: Optional[int] = None,  # None: pow2 union padding (few
         #   compile-cache keys — the default). An int (multiple of 512, the
         #   slab u-tile): ceil the batch union to that multiple instead —
@@ -212,6 +220,12 @@ class TfidfRanker:
                 f"u-tile), got {union_round}"
             )
         self.union_round = union_round
+        self.select_rescore = int(select_rescore)
+        if self.select_rescore and width_buckets != 2:
+            raise ValueError(
+                "select_rescore requires the bucketed hybrid engine "
+                "(width_buckets=2) — it would be silently ignored otherwise"
+            )
         self.precision = precision
         # fixed_* pin the compiled shapes for serving: every batch reuses one
         # executable (stable persistent-cache keys across processes). Queries
@@ -456,7 +470,14 @@ class TfidfRanker:
             # Round 3 made pool blocks VMEM-resident across the doc sweep
             # (light_add grid is batch-outer now); the 200K gate is retained
             # until sweep_df re-measures the crossover on hardware.
-            if self.dev.num_docs <= self.FUSED_LIGHT_MAX_DOCS:
+            # select_rescore lives in the staged engine (the fused kernel
+            # never materializes the score matrix the option is about), so
+            # it forces the staged path — mostly so small-corpus tests can
+            # exercise the exact serving code.
+            if (
+                self.dev.num_docs <= self.FUSED_LIGHT_MAX_DOCS
+                and not self.select_rescore
+            ):
                 return hybrid_topk_bucketed_fused(
                     *self._heavy_a,
                     *self._heavy_b,
@@ -493,6 +514,7 @@ class TfidfRanker:
                 queries_sorted=True,
                 pools_sorted=True,  # C++ gather already sorted permuted pools
                 d_tile=self.d_tile,
+                select_rescore=self.select_rescore,
             )
         light_docs, light_contribs, _ = gather_light_pools(
             self._split, buckets, weights

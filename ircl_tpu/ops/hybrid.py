@@ -233,6 +233,96 @@ def _merge_light(
     )
 
 
+def _light_total_at(sd, l_tot, cand):
+    """Exact light run totals for candidate docs: per-row binary search over
+    the doc-ascending pools. ``l_tot`` is valid at run ends, and the last
+    occurrence of a doc in a sorted row IS its run end, so
+    ``searchsorted(side="right") - 1`` lands exactly there. Docs absent from
+    a row's pool contribute 0."""
+    pos = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        sd, cand
+    )
+    pos = jnp.maximum(pos - 1, 0)
+    hit = jnp.take_along_axis(sd, pos, axis=1) == cand
+    return jnp.where(hit, jnp.take_along_axis(l_tot, pos, axis=1), 0.0)
+
+
+def _select_rescore_topk(
+    m: jnp.ndarray,  # [U, N_pad] membership slab (still live in this jit)
+    wt: jnp.ndarray,  # [U, B_pad] query slab
+    h_sel: jnp.ndarray,  # [B, N_pad] bf16 selection scores (1-pass MXU)
+    light_docs: jnp.ndarray,
+    light_contribs: jnp.ndarray,
+    k: int,
+    n_cand: int,
+    num_real_docs: int,
+    pools_sorted: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select+rescore top-k: pick ``n_cand`` candidate docs per query from
+    the cheap bf16 scores (heavy top-C ∪ light run-ends, the same candidate
+    union as ``_merge_light``), then recompute those candidates' totals
+    EXACTLY — heavy part as an f32-HIGHEST contraction over the gathered
+    slab columns, light part from the compensated run totals — and take the
+    final top-k over exact values.
+
+    This halves the [B, N] score traffic (bf16 write + read instead of f32)
+    and runs the big MXU contraction 1-pass instead of 3-pass (bf16_3x) /
+    6-pass (f32). The candidate step is approximate: a true top-k doc could
+    in principle fall outside the bf16 top-``n_cand`` heavy candidates
+    (probe_bf16_select: true top-5 ⊆ bf16 top-16 on 4096/4096 bench
+    queries; light candidates are unaffected — their selection already uses
+    exact l_tot). Callers that need certified results run the full-batch
+    parity gate (bench_scale does every run).
+    """
+    B, n_pad = h_sel.shape
+    kk = min(n_cand, n_pad)
+    if n_pad >= _TWOPHASE_MIN:
+        h_s, h_i = _topk_twophase(h_sel, kk)
+    else:
+        h_s, h_i = jax.lax.top_k(h_sel, kk)
+    h_s = h_s.astype(jnp.float32)
+
+    sd, sv = _sorted_pools(light_docs, light_contribs, pools_sorted)
+    is_end, l_tot = _run_totals(sd, sv)
+    real = sd < num_real_docs
+    h_at_light = jnp.take_along_axis(
+        h_sel, jnp.clip(sd, 0, n_pad - 1), axis=1
+    ).astype(jnp.float32)
+    cand_l = jnp.where(is_end & real, h_at_light + l_tot, -jnp.inf)
+    dup = jnp.any(
+        h_i[:, :, None] == jnp.where(real, sd, -2)[:, None, :], axis=2
+    )
+    h_s = jnp.where(dup, -jnp.inf, h_s)
+
+    all_s = jnp.concatenate([h_s, cand_l], axis=1)
+    all_i = jnp.concatenate([h_i, sd], axis=1)
+    n_sel = min(n_cand, all_s.shape[1])
+    sel_s, sel_pos = jax.lax.top_k(all_s, n_sel)
+    cand = jnp.take_along_axis(all_i, sel_pos, axis=1)  # [B, n_sel]
+    # Finite-selected candidates are distinct docs (heavy top-k ids are
+    # distinct, light run-ends are one-per-doc, cross-duplicates masked);
+    # -inf slots carry junk ids (possibly repeats) — zero them after rescore
+    # so no doc's exact total can enter the final top-k twice.
+    valid = jnp.isfinite(sel_s)
+    safe = jnp.clip(cand, 0, n_pad - 1)
+
+    mc = jnp.take(m, safe.reshape(-1), axis=1)  # [U, B * n_sel] column gather
+    h_exact = jnp.einsum(
+        "ub,ubc->bc",
+        wt[:, :B],
+        mc.reshape(m.shape[0], B, n_sel),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    total = jnp.where(valid, h_exact + _light_total_at(sd, l_tot, safe), 0.0)
+    top_s, tp = jax.lax.top_k(total, min(k, n_sel))
+    top_i = jnp.take_along_axis(safe, tp, axis=1)
+    empty = (top_s <= 0.0) | (top_i >= num_real_docs)
+    return (
+        jnp.where(empty, 0.0, top_s),
+        jnp.where(empty, -1, top_i.astype(jnp.int32)),
+    )
+
+
 def _u_tile(u: int, d_tile: int = 256) -> int:
     """At least 4 u-tiles when the union allows it, so the value-range
     windows can skip work even for small heavy unions (e.g. 512 at 1M docs).
@@ -432,7 +522,7 @@ def hybrid_topk_bucketed_fused(
     jax.jit,
     static_argnames=(
         "k", "interpret", "precision", "queries_sorted", "pools_sorted",
-        "d_tile",
+        "d_tile", "select_rescore",
     ),
 )
 def hybrid_topk_bucketed(
@@ -451,6 +541,10 @@ def hybrid_topk_bucketed(
     queries_sorted: bool = False,
     pools_sorted: bool = False,  # pools doc-ascending in PERMUTED space
     d_tile: int = 256,  # doc-axis slab tile; 512 cuts slab time ~25% at 1M
+    select_rescore: int = 0,  # >0: bf16 1-pass selection of this many
+    #   candidates/query + exact f32 rescore (see _select_rescore_topk);
+    #   `precision` is ignored on this path (selection runs DEFAULT,
+    #   rescore HIGHEST). 0: exact full-score path (default).
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Width-bucketed heavy slab: docs sorted by heavy width and split into a
     narrow bucket (small K_a — the bulk) and a wide bucket, eliminating most
@@ -463,11 +557,26 @@ def hybrid_topk_bucketed(
         u_sorted, terms_a, vals_a, terms_b, vals_b, d_tile, interpret
     )
     wt = _query_slab(u_sorted, qb_t, qw_t, u_tile, interpret, queries_sorted)
+    B = light_docs.shape[0]
+    if select_rescore:
+        # one MXU pass; the convert fuses into the dot epilogue so only
+        # bf16 ([B, N] halved) ever hits HBM
+        h_sel = jax.lax.dot_general(
+            wt, m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )[:B].astype(jnp.bfloat16)
+        return _select_rescore_topk(
+            m, wt, h_sel, light_docs, light_contribs, k,
+            n_cand=max(select_rescore, k),  # at least k candidates
+            num_real_docs=h_sel.shape[1],
+            pools_sorted=pools_sorted,
+        )
     h = jax.lax.dot_general(
         wt, m, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
-    )[: light_docs.shape[0]]
+    )[:B]
     # positional real-mask is meaningless in permuted space; zero-score
     # filtering inside _merge_light handles pads.
     return _merge_light(

@@ -649,3 +649,63 @@ def test_split_save_load_roundtrip_and_ranker_injection(setup, tmp_path):
     )
     with pytest.raises(ValueError, match="does not match"):
         TfidfRanker(index2, mode="hybrid", split=loaded)
+
+
+@pytest.mark.parametrize("n_cand", [16, 64])
+def test_select_rescore_matches_exact_engine(setup, n_cand):
+    """Select+rescore (bf16 candidate selection + exact f32 rescore,
+    ops/hybrid.py::_select_rescore_topk) matches the exact staged engine.
+    At this corpus size every positive-scoring doc fits inside the
+    candidate set for n_cand=64, so the outputs must agree to f32
+    accumulation order; 16 exercises the probe-backed containment slack.
+    (n_cand == k is measurably NOT exact here — a borderline 5th-place doc
+    can fall outside the bf16 top-5 — which is why the option defaults to
+    16+ and bench_scale gates every run.)"""
+    index, claims = setup
+    r_exact = TfidfRanker(
+        index, mode="hybrid", df_threshold=8, width_buckets=2
+    )
+    r_sel = TfidfRanker(
+        index, mode="hybrid", df_threshold=8, width_buckets=2,
+        select_rescore=n_cand,
+    )
+    out_e = r_exact.closest_docs_batch(claims, k=5)
+    out_s = r_sel.closest_docs_batch(claims, k=5)
+    for qi, ((ids_e, s_e), (ids_s, s_s)) in enumerate(zip(out_e, out_s)):
+        assert len(ids_e) == len(ids_s), f"query {qi}"
+        np.testing.assert_allclose(s_s, s_e, rtol=1e-4, atol=1e-6)
+        assert set(ids_s) == set(ids_e) or np.allclose(
+            sorted(s_s), sorted(s_e), rtol=1e-4
+        ), f"query {qi}"
+
+
+def test_select_rescore_requires_bucketed_engine(setup):
+    index, _ = setup
+    with pytest.raises(ValueError, match="width_buckets"):
+        TfidfRanker(index, mode="hybrid", select_rescore=16)
+
+
+def test_light_total_at_exactness():
+    """_light_total_at returns each candidate doc's full run total (and 0
+    for docs absent from the pool), independent of where in the run the
+    searchsorted lands."""
+    import jax.numpy as jnp
+
+    from ircl_tpu.ops.hybrid import _light_total_at, _run_totals
+
+    rng = np.random.default_rng(3)
+    B, P = 4, 64
+    sd = np.sort(rng.integers(0, 20, size=(B, P)).astype(np.int32), axis=1)
+    sv = rng.random((B, P)).astype(np.float32)
+    _, l_tot = _run_totals(jnp.asarray(sd), jnp.asarray(sv))
+    cand = np.stack([np.arange(24, dtype=np.int32)] * B)  # incl. absent ids
+    got = np.asarray(
+        _light_total_at(jnp.asarray(sd), l_tot, jnp.asarray(cand))
+    )
+    for b in range(B):
+        for c in range(24):
+            want = sv[b][sd[b] == cand[b, c]].astype(np.float64).sum()
+            np.testing.assert_allclose(
+                got[b, c], want, rtol=1e-5, atol=1e-7,
+                err_msg=f"b={b} doc={cand[b, c]}",
+            )
