@@ -96,22 +96,23 @@ class _State:
 STATE = _State()
 
 
-def _marker_path(claims: int, ur, df, dt) -> str:
+def _marker_path(claims: int, ur, df, dt, sr=0) -> str:
+    tail = f"-sr{sr}" if sr else ""
     return os.path.join(
-        MARKER_DIR, f"sparse-c{claims}-ur{ur}-df{df}-dt{dt}-v1"
+        MARKER_DIR, f"sparse-c{claims}-ur{ur}-df{df}-dt{dt}-v1{tail}"
     )
 
 
-def _resolve_claims(requested, ur, df, dt) -> int:
+def _resolve_claims(requested, ur, df, dt, sr=0) -> int:
     """Cold-cache fallback: prefer the requested batch, but if it has never
     compiled here and a smaller batch has, run the warm shape instead."""
     default = 4096
     if requested is not None:
         return requested  # explicit flag: never second-guess
-    if os.path.exists(_marker_path(default, ur, df, dt)):
+    if os.path.exists(_marker_path(default, ur, df, dt, sr)):
         return default
     for c in (2048, 1024):
-        if os.path.exists(_marker_path(c, ur, df, dt)):
+        if os.path.exists(_marker_path(c, ur, df, dt, sr)):
             log(
                 f"cold compile cache for claims={default}; falling back to "
                 f"previously-warmed claims={c} (pass --claims to override)"
@@ -145,7 +146,8 @@ def worker(args):
 
     NUM_DOCS = 50_000
     NUM_CLAIMS = _resolve_claims(
-        args.claims, args.union_round, args.df_threshold, args.d_tile
+        args.claims, args.union_round, args.df_threshold, args.d_tile,
+        args.select_rescore,
     )
     HASH_SIZE = 1 << 24  # reference default (build_tfidf.py hash-size 2^24)
     K = 5
@@ -176,6 +178,7 @@ def worker(args):
         precision="high",
         d_tile=args.d_tile,
         union_round=args.union_round,
+        select_rescore=args.select_rescore,
     )
     async_fn = (
         ranker._closest_hybrid_async
@@ -226,7 +229,8 @@ def worker(args):
     os.makedirs(MARKER_DIR, exist_ok=True)
     with open(
         _marker_path(
-            NUM_CLAIMS, args.union_round, args.df_threshold, args.d_tile
+            NUM_CLAIMS, args.union_round, args.df_threshold, args.d_tile,
+            args.select_rescore,
         ),
         "w",
     ):
@@ -364,6 +368,11 @@ def main():
     # B=4096 it is noise-neutral (24.4-24.6K both arms) but never does
     # more heavy work than pow2, so it stays the default.
     ap.add_argument("--union-round", type=int, default=512)
+    # select+rescore (ops/hybrid.py::_select_rescore_topk): >0 forces the
+    # STAGED engine with a 1-pass bf16 selection matmul + exact f32 rescore
+    # of that many candidates/query. A/B knob against the fused default at
+    # this corpus; the full-batch parity gate certifies (or fails) the run.
+    ap.add_argument("--select-rescore", type=int, default=0)
     ap.add_argument(
         "--trace", type=str, default=None,
         help="capture a jax.profiler trace of one steady-state round into "
