@@ -51,3 +51,23 @@ def test_steady_counts_warmup_and_reps():
     qps = steady(fn, "unit", batch=7, reps=5, warmup=2)
     assert len(calls) == 7  # 2 warmup + 5 timed
     assert qps > 0
+
+
+def test_bench_marker_keying_separates_select_rescore(tmp_path, monkeypatch):
+    """The cold-cache fallback must key markers per select-rescore arm: a
+    warm sr=0 shape must not convince an sr=16 run its compile is warm."""
+    import bench
+
+    monkeypatch.setattr(bench, "MARKER_DIR", str(tmp_path))
+    assert bench._marker_path(4096, 512, 24, None) != bench._marker_path(
+        4096, 512, 24, None, 16
+    )
+    # warm the sr=0 default shape only
+    import os
+
+    os.makedirs(str(tmp_path), exist_ok=True)
+    open(bench._marker_path(4096, 512, 24, None), "w").close()
+    assert bench._resolve_claims(None, 512, 24, None) == 4096
+    # sr=16 sees nothing warmed -> default with salvage, not a false warm hit
+    open(bench._marker_path(2048, 512, 24, None, 16), "w").close()
+    assert bench._resolve_claims(None, 512, 24, None, 16) == 2048
