@@ -148,7 +148,12 @@ def retrieve(
     # Stage 2 candidates: all sentences of the retrieved docs.
     cand_sents, cand_keys = gather_candidates(all_doc_ids, doc_sentences)
 
-    scores = sentence_scorer(claims, cand_sents)
+    if hasattr(sentence_scorer, "score_keys"):
+        # precomputed-table scorer: candidates come from this same
+        # doc_sentences, so score by key (gather + dot, no re-embedding)
+        scores = sentence_scorer.score_keys(claims, cand_keys)
+    else:
+        scores = sentence_scorer(claims, cand_sents)
 
     top_sentences: List[List[Tuple[str, int]]] = []
     top_scores: List[np.ndarray] = []

@@ -200,7 +200,13 @@ class RetrievalService:
         k_sents = self.default_k_sents if k_sents is None else k_sents
         doc_ids = [ids for ids, _ in self._ranked(queries, k)]
         cand_sents, cand_keys = gather_candidates(doc_ids, self.doc_sentences)
-        scores = self.sentence_scorer(list(queries), cand_sents)
+        if hasattr(self.sentence_scorer, "score_keys"):
+            # precomputed-table scorer (pipeline/dense_scorer.py): candidates
+            # come from the same doc_sentences its table indexes, so stage 2
+            # is a row gather + dot — no sentence re-embeds at serving time
+            scores = self.sentence_scorer.score_keys(list(queries), cand_keys)
+        else:
+            scores = self.sentence_scorer(list(queries), cand_sents)
         out: List[List[dict]] = []
         for sents, keys, sc in zip(cand_sents, cand_keys, scores):
             sc = np.asarray(sc)
@@ -229,12 +235,17 @@ def make_service(
     split_path: Optional[str] = None,
     mode: str = "auto",
     k_max: Optional[int] = None,
+    doc_sentences: Optional[Dict[str, List[str]]] = None,
+    sentence_scorer=None,
+    default_k_sents: int = 5,
 ) -> RetrievalService:
     """Load a saved index (tf-idf npz from `cli build-index`) into a
     serving-configured ranker: shapes pinned (`fixed_max_terms`,
     `fixed_union_cap`, `union_round`, service-level `k_max`) so steady
     state is one executable, df-split optionally preloaded
-    (`index/split.py::save_split`) to skip the cold-start rebuild."""
+    (`index/split.py::save_split`) to skip the cold-start rebuild.
+    Pass `doc_sentences` + `sentence_scorer` to enable the two-stage
+    `search_sentences` surface (see `cli serve --dense-ckpt`)."""
     index = CountIndex.load(index_path)
     split = None
     if split_path:
@@ -250,7 +261,13 @@ def make_service(
         split=split,
     )
     return RetrievalService(
-        ranker, batch_size=batch_size, default_k=default_k, k_max=k_max
+        ranker,
+        batch_size=batch_size,
+        default_k=default_k,
+        k_max=k_max,
+        doc_sentences=doc_sentences,
+        sentence_scorer=sentence_scorer,
+        default_k_sents=default_k_sents,
     )
 
 

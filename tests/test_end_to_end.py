@@ -59,6 +59,20 @@ def test_full_two_stage_slice(tmp_path):
         claims, ranker, wiki.sentences, scorer, k_docs=5, k_sents=5
     )
 
+    # The serving form of stage 2: precompute the corpus sentence-embedding
+    # table once, score candidates by (doc, sent) key — must agree with the
+    # on-the-fly re-embedding path through the REAL trained encoder (rows
+    # are batch-independent at pinned shapes).
+    from ircl_tpu.pipeline.dense_scorer import PrecomputedSentenceScorer
+
+    pre = PrecomputedSentenceScorer.from_scorer(scorer, wiki.sentences)
+    result_pre = retrieve(
+        claims, ranker, wiki.sentences, pre, k_docs=5, k_sents=5
+    )
+    assert result_pre.sentences == result.sentences
+    for a, b in zip(result_pre.sentence_scores, result.sentence_scores):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
     dr = doc_recall_at_k(wiki.claims, result.doc_ids, k=5)
     sr = sentence_recall_at_k(wiki.claims, result.sentences, k=5)
     assert dr >= 0.9, f"doc recall {dr}"

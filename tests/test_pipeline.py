@@ -101,3 +101,62 @@ def test_recall_full_mode_per_annotation():
     # flattened-only producer: conservative single-annotation fallback
     c3 = Claim(3, "c", "SUPPORTS", {"D1": [0], "D2": [0]})
     assert sentence_recall_at_k([c3], [[("D1", 0)]], k=5, mode="full") == 0.0
+
+
+def _fake_embed(texts):
+    """Deterministic device-free embedder: crc32-seeded unit vectors."""
+    import zlib
+
+    out = np.zeros((len(texts), 16), np.float32)
+    for i, t in enumerate(texts):
+        rng = np.random.default_rng(zlib.crc32(t.encode("utf-8")))
+        v = rng.normal(size=16).astype(np.float32)
+        out[i] = v / np.linalg.norm(v)
+    return out
+
+
+def test_precomputed_scorer_matches_on_the_fly(wiki, ranker):
+    from ircl_tpu.pipeline.dense_scorer import (
+        PrecomputedSentenceScorer,
+        _score_by_embed,
+    )
+
+    claims = [c.claim for c in wiki.claims][:20]
+    on_the_fly = lambda cs, cands: _score_by_embed(_fake_embed, cs, cands)
+    pre = PrecomputedSentenceScorer(_fake_embed, wiki.sentences)
+
+    r_fly = retrieve(claims, ranker, wiki.sentences, on_the_fly, k_docs=3, k_sents=4)
+    r_pre = retrieve(claims, ranker, wiki.sentences, pre, k_docs=3, k_sents=4)
+    assert r_pre.sentences == r_fly.sentences
+    for a, b in zip(r_pre.sentence_scores, r_fly.sentence_scores):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_precomputed_scorer_edges(wiki):
+    from ircl_tpu.pipeline.dense_scorer import PrecomputedSentenceScorer
+
+    pre = PrecomputedSentenceScorer(_fake_embed, wiki.sentences)
+    # empty candidate list -> empty scores
+    (empty,) = pre.score_keys(["a claim"], [[]])
+    assert empty.shape == (0,)
+    # a key outside the table is a caller bug: loud, not wrong-row
+    doc = next(iter(wiki.sentences))
+    with pytest.raises(KeyError):
+        pre.score_keys(["a claim"], [[("no_such_doc", 0)]])
+    # protocol __call__ still works for out-of-table text
+    (sc,) = pre(["a claim"], [[wiki.sentences[doc][0], "novel text"]])
+    assert sc.shape == (2,)
+    # preloaded table round-trips (the bench's disk-cache path)...
+    pre2 = PrecomputedSentenceScorer(
+        _fake_embed, wiki.sentences, table=pre.table
+    )
+    keys = [[(doc, 0)]]
+    np.testing.assert_array_equal(
+        pre2.score_keys(["a claim"], keys)[0],
+        pre.score_keys(["a claim"], keys)[0],
+    )
+    # ...and a stale (wrong-row-count) table is rejected loudly
+    with pytest.raises(ValueError):
+        PrecomputedSentenceScorer(
+            _fake_embed, wiki.sentences, table=pre.table[:-1]
+        )

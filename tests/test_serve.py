@@ -305,3 +305,46 @@ def test_stdin_jsonl_loop(ranker):
     assert replies[1]["results"][0][0]["doc_id"] == "Moon"
     assert "error" in replies[2]
     assert replies[3]["results"][0][0]["doc_id"] == "Mars"
+
+
+def test_two_stage_precomputed_matches_on_the_fly(ranker):
+    """A PrecomputedSentenceScorer-backed service returns the same
+    sentence results as the on-the-fly embed path (serve.py routes to
+    score_keys automatically when the scorer has one)."""
+    import zlib
+
+    from ircl_tpu.pipeline.dense_scorer import (
+        PrecomputedSentenceScorer,
+        _score_by_embed,
+    )
+
+    def fake_embed(texts):
+        out = np.zeros((len(texts), 8), np.float32)
+        for i, t in enumerate(texts):
+            rng = np.random.default_rng(zlib.crc32(t.encode("utf-8")))
+            v = rng.normal(size=8).astype(np.float32)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+    sents = _sentences()
+    kw = dict(
+        batch_size=4, default_k=3, doc_sentences=sents, default_k_sents=2
+    )
+    svc_fly = RetrievalService(
+        ranker,
+        sentence_scorer=lambda cs, cands: _score_by_embed(fake_embed, cs, cands),
+        **kw,
+    )
+    pre = PrecomputedSentenceScorer(fake_embed, sents)
+    svc_pre = RetrievalService(ranker, sentence_scorer=pre, **kw)
+    svc_pre.warmup()
+
+    got_fly = svc_fly.search_sentences(QUERIES, k=3, k_sents=2)
+    got_pre = svc_pre.search_sentences(QUERIES, k=3, k_sents=2)
+    assert [
+        [(r["doc_id"], r["sent_id"]) for r in per_q] for per_q in got_pre
+    ] == [[(r["doc_id"], r["sent_id"]) for r in per_q] for per_q in got_fly]
+    for a, b in zip(got_pre, got_fly):
+        np.testing.assert_allclose(
+            [r["score"] for r in a], [r["score"] for r in b], rtol=1e-6
+        )
