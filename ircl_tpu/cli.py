@@ -377,6 +377,55 @@ def cmd_serve(args):
         "index",
         f"tfidf-ngram={cfg.index.ngram}-hash={cfg.index.hash_size}.npz",
     )
+
+    # Optional stage 2 (two-stage `search_sentences`): restore the
+    # contrastive encoder, embed every corpus sentence ONCE into the
+    # serving table (`PrecomputedSentenceScorer`; cached at --sent-table),
+    # so a request never re-embeds a sentence. The reference's dense
+    # re-rank is commented out (`src/evaluation.py:105-116`) and it has
+    # no serving surface at all.
+    doc_sentences = None
+    scorer = None
+    if args.dense_ckpt:
+        import numpy as np
+        import jax
+
+        from ircl_tpu.contrastive.state import init_train_state
+        from ircl_tpu.corpus import fever
+        from ircl_tpu.pipeline.dense_scorer import (
+            ContrastiveSentenceScorer,
+            PrecomputedSentenceScorer,
+        )
+        from ircl_tpu.utils.checkpoint import restore_state
+
+        wiki = fever.load_wiki_json(cfg.data.wiki_json)
+        doc_sentences = {
+            d: fever.parse_lines_tab(r["lines"]) for d, r in wiki.items()
+        }
+        template = init_train_state(jax.random.PRNGKey(0), cfg.train)
+        state = restore_state(args.dense_ckpt, template)
+        embed = ContrastiveSentenceScorer(
+            cfg.train, _featurizer(cfg), state, batch_size=args.batch_size
+        ).embed
+        table = None
+        if args.sent_table and os.path.exists(args.sent_table):
+            table = np.load(args.sent_table)
+        try:
+            scorer = PrecomputedSentenceScorer(
+                embed, doc_sentences, table=table
+            )
+        except ValueError as e:  # stale cached table: rebuild
+            print(f"ignoring --sent-table: {e}", file=sys.stderr)
+            table = None
+            scorer = PrecomputedSentenceScorer(embed, doc_sentences)
+        if args.sent_table and table is None:
+            np.save(args.sent_table, scorer.table)
+            print(
+                f"sentence table ({scorer.table.shape[0]} rows) -> "
+                f"{args.sent_table}",
+                file=sys.stderr,
+            )
+
     service = make_service(
         index_path,
         batch_size=args.batch_size,
@@ -385,6 +434,9 @@ def cmd_serve(args):
         union_cap=args.union_cap,
         split_path=args.split,
         mode=cfg.index.mode,
+        doc_sentences=doc_sentences,
+        sentence_scorer=scorer,
+        default_k_sents=args.k_sents,
     )
     print(
         f"loaded {service.num_docs} docs from {index_path}; warming up "
@@ -469,6 +521,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch-size", type=int, default=256, help="pinned device batch")
     s.add_argument("--max-terms", type=int, default=24)
     s.add_argument("--union-cap", type=int, default=4096)
+    s.add_argument(
+        "--dense-ckpt", type=str, default=None,
+        help="contrastive ckpt: enables two-stage sentence search",
+    )
+    s.add_argument(
+        "--sent-table", type=str, default=None,
+        help="npy cache for the corpus sentence-embedding table",
+    )
+    s.add_argument("--k-sents", type=int, default=5)
     s.set_defaults(fn=cmd_serve)
     return p
 

@@ -96,3 +96,57 @@ def test_cli_retrieve(workspace, capsys):
     metrics = json.loads(out)
     assert metrics["doc_recall@k"] >= 0.8
     assert os.path.exists(f"{ws}/results.jsonl")
+
+
+def test_cli_serve_two_stage_stdin(workspace, monkeypatch, capsys):
+    """`cli serve --stdin --dense-ckpt ...` answers a two-stage sentence
+    request over the JSONL transport, builds + caches the sentence table
+    at --sent-table, and reuses the cache on a second boot."""
+    import glob
+    import io
+
+    ws, cfg = workspace
+    ckpts = sorted(glob.glob(f"{ws}/ckpt/*.ckpt")) or sorted(
+        glob.glob(f"{ws}/ckpt/*")
+    )
+    assert ckpts, "train test must run first (module-scoped workspace)"
+    table = f"{ws}/sent_table.npy"
+    overrides = [
+        "--set", "featurizer.dim=16",
+        "--set", "featurizer.max_len=8",
+        "--set", "train.encoder.input_size=16",
+        "--set", "train.encoder.hidden_size=8",
+        "--set", "train.encoder.output_size=8",
+        "--set", "train.encoder.num_layers=1",
+    ]
+    serve_args = [
+        "--config", cfg, *overrides,
+        "serve", "--stdin", "--batch-size", "8", "--k", "3",
+        "--k-sents", "2", "--dense-ckpt", ckpts[-1], "--sent-table", table,
+    ]
+    req = json.dumps(
+        {"queries": ["vamu pufo heno"], "sentences": True}
+    )
+
+    def boot():
+        monkeypatch.setattr(
+            "sys.stdin", io.StringIO(req + "\n" + '{"bad json\n')
+        )
+        cli_main(serve_args)
+        lines = [
+            ln for ln in capsys.readouterr().out.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        ok = json.loads(lines[-2])
+        err = json.loads(lines[-1])
+        assert "error" in err  # malformed line answered, loop survived
+        return ok
+
+    first = boot()
+    assert os.path.exists(table)
+    per_q = first["results"][0]
+    assert len(per_q) == 2 and {"doc_id", "sent_id", "sentence", "score"} <= set(
+        per_q[0]
+    )
+    second = boot()  # warm boot: loads the cached table
+    assert second == first
