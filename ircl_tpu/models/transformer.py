@@ -99,16 +99,14 @@ def _dense(x, p):
     )
 
 
-def transformer_apply(
+def transformer_embed(
     params: Dict,
     cfg: TransformerConfig,
     ids: jnp.ndarray,  # [B, L] int32
-    mask: jnp.ndarray,  # [B, L] f32 (1 = real token)
     type_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Last hidden state [B, L, hidden]."""
-    B, L = ids.shape
-    dtype = cfg.dtype
+    """Embedding sum + embedding layernorm -> [B, L, hidden]."""
+    L = ids.shape[1]
     pos = jnp.arange(L) + cfg.position_offset
     x = (
         params["tok_emb"][ids]
@@ -118,58 +116,96 @@ def transformer_apply(
             if type_ids is not None
             else params["type_emb"][0][None, None, :]
         )
-    ).astype(dtype)
-    x = _ln(x, params["emb_ln"], cfg.layernorm_eps)
+    ).astype(cfg.dtype)
+    return _ln(x, params["emb_ln"], cfg.layernorm_eps)
 
-    nh = cfg.heads
-    hd = cfg.hidden // nh
 
+def attention_mask_inputs(cfg: TransformerConfig, mask: jnp.ndarray):
+    """Per-batch attention context: additive pad bias [B,1,1,L] for the
+    "xla" path, SegmentIds for the "flash" kernel."""
     if cfg.attention == "flash":
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            SegmentIds,
-            flash_attention,
-        )
+        from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
 
         # pad tokens get segment 0, real tokens segment 1: cross-segment
         # attention is masked inside the kernel, which reproduces the
         # additive -1e9 pad bias for every REAL query row (pad rows attend
         # pads; their outputs are garbage masked by downstream pooling)
-        seg = SegmentIds(
-            q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32)
-        )
-    else:
-        neg = jnp.asarray(-1e9, dtype)
-        attn_bias = (
-            (1.0 - mask[:, None, None, :].astype(dtype)) * neg
-        )  # [B,1,1,L]
+        return SegmentIds(q=mask.astype(jnp.int32), kv=mask.astype(jnp.int32))
+    neg = jnp.asarray(-1e9, cfg.dtype)
+    return (1.0 - mask[:, None, None, :].astype(cfg.dtype)) * neg  # [B,1,1,L]
 
-    for lp in params["layers"]:
-        q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-        if cfg.attention == "flash":
-            ctx = flash_attention(
-                q, k, v, segment_ids=seg, causal=False,
-                sm_scale=float(1.0 / np.sqrt(hd)),
-            ).astype(dtype)
-        else:
-            logits = (
-                jnp.einsum(
-                    "bhqd,bhkd->bhqk", q, k,
-                    preferred_element_type=jnp.float32,
-                )
-                / np.sqrt(hd)
-                + attn_bias
-            )
-            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-            ctx = jnp.einsum(
-                "bhqk,bhkd->bhqd", probs, v,
+
+def transformer_block(
+    x: jnp.ndarray,  # [B, L, hidden]
+    lp: Dict,  # one entry of params["layers"]
+    cfg: TransformerConfig,
+    attn_ctx,  # attention_mask_inputs(cfg, mask)
+) -> jnp.ndarray:
+    """One post-LN encoder block (MHA -> Add&LN -> GELU FFN -> Add&LN).
+
+    Factored out so the pipeline-parallel stage runner (``parallel/pp.py``)
+    can ``lax.scan`` it over stacked layer params; ``transformer_apply``'s
+    python loop calls the same function, so PP == single-device numerics by
+    construction."""
+    B, L, _ = x.shape
+    dtype = cfg.dtype
+    nh = cfg.heads
+    hd = cfg.hidden // nh
+    q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
+    if cfg.attention == "flash":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        ctx = flash_attention(
+            q, k, v, segment_ids=attn_ctx, causal=False,
+            sm_scale=float(1.0 / np.sqrt(hd)),
+        ).astype(dtype)
+    else:
+        logits = (
+            jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
                 preferred_element_type=jnp.float32,
-            ).astype(dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
-        x = _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
-        ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
-        x = _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
+            )
+            / np.sqrt(hd)
+            + attn_ctx
+        )
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
+    x = _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
+    ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
+    return _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
+
+
+def transformer_apply(
+    params: Dict,
+    cfg: TransformerConfig,
+    ids: jnp.ndarray,  # [B, L] int32
+    mask: jnp.ndarray,  # [B, L] f32 (1 = real token)
+    type_ids: Optional[jnp.ndarray] = None,
+    constrain=None,  # optional activation-sharding hook (parallel/tp.py SP)
+) -> jnp.ndarray:
+    """Last hidden state [B, L, hidden].
+
+    ``constrain`` (e.g. ``parallel.tp.make_sp_constrainer``) is applied to
+    the [B, L, hidden] activations after the embedding LN and after every
+    block: under GSPMD that single annotation turns the Megatron TP
+    all-reduces into reduce-scatter/all-gather pairs with the LN + residual
+    regions sequence-sharded (Megatron sequence parallelism)."""
+    x = transformer_embed(params, cfg, ids, type_ids)
+    if constrain is not None:
+        x = constrain(x)
+    attn_ctx = attention_mask_inputs(cfg, mask)
+    for lp in params["layers"]:
+        x = transformer_block(x, lp, cfg, attn_ctx)
+        if constrain is not None:
+            x = constrain(x)
     return x
 
 

@@ -1,0 +1,270 @@
+"""Pipeline parallelism (GPipe schedule) for the transformer models.
+
+The reference is single-GPU with no model parallelism of any kind
+(SURVEY.md §2.2; its RoBERTa verdict model is ``src/QA/model.py:10-37``) —
+this module is new TPU-native surface, the third parallelism axis next to
+DP (``parallel/dp.py``) and Megatron TP/SP (``parallel/tp.py``).
+
+Design (TPU-idiomatic, no torch-style stage processes):
+
+- The encoder's L blocks are split into S equal stages. The per-layer
+  param pytrees are stacked onto a leading ``[S, L/S, ...]`` axis
+  (``stack_layer_params``) and sharded ``P("stage")`` over a 1-D mesh, so
+  each chip physically holds only its own stage's weights (and its Adam
+  moments — ``init_sharded_opt_state`` reuses the leading-axis spec).
+- One ``shard_map`` region runs the classic GPipe schedule as a
+  ``lax.scan`` over ``M + S - 1`` ticks: stage 0 feeds microbatch ``t``,
+  every stage applies its blocks (a ``lax.scan`` over the stacked layer
+  params calling the same ``transformer_block`` the single-device path
+  uses), and ``lax.ppermute`` shifts activations stage -> stage+1 over
+  ICI. The bubble is the standard (S-1)/(M+S-1) fraction.
+- The backward pipeline is NOT hand-written: the schedule is plain traced
+  JAX (scan + ppermute + where), so ``jax.grad`` through the shard_map
+  region transposes it into the reverse-order backward schedule
+  automatically, with the ppermute transpose running the reverse ICI
+  shifts. ``remat=True`` wraps each stage application in
+  ``jax.checkpoint`` (recompute activations in the backward bubble instead
+  of storing every microbatch's block activations).
+- Embeddings and the classifier head are tiny next to the blocks; they
+  stay replicated and run outside the shard_map region (inside the same
+  jit, so XLA still overlaps them with the pipeline ramp-up).
+
+Numerics: every microbatch goes through the identical ``transformer_block``
+ops in the identical order, and batch elements never interact inside a
+block (LN is over hidden, attention over sequence), so PP == single-device
+up to f32 reduction reordering (``tests/test_pp.py`` pins it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ircl_tpu.models.transformer import (
+    TransformerConfig,
+    attention_mask_inputs,
+    transformer_block,
+    transformer_embed,
+)
+
+
+def make_pp_mesh(stages: int = None, devices=None) -> Mesh:
+    """1-D ("stage",) mesh; defaults to all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if stages is None:
+        stages = len(devices)
+    arr = np.array(devices[:stages])
+    return Mesh(arr, ("stage",))
+
+
+def stack_layer_params(layers: List[Dict], n_stages: int):
+    """List of per-layer pytrees -> one pytree with leaves [S, L/S, ...]."""
+    n = len(layers)
+    if n % n_stages != 0:
+        raise ValueError(f"{n} layers not divisible into {n_stages} stages")
+    per = n // n_stages
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return jax.tree.map(
+        lambda a: a.reshape((n_stages, per) + a.shape[1:]), stacked
+    )
+
+
+def unstack_layer_params(stacked) -> List[Dict]:
+    """Inverse of ``stack_layer_params`` (for checkpoint interchange)."""
+    leaves = jax.tree.leaves(stacked)
+    s, per = leaves[0].shape[0], leaves[0].shape[1]
+    flat = jax.tree.map(lambda a: a.reshape((s * per,) + a.shape[2:]), stacked)
+    return [jax.tree.map(lambda a: a[i], flat) for i in range(s * per)]
+
+
+def stage_specs(stacked):
+    """P("stage") on every leaf's leading axis."""
+    return jax.tree.map(lambda _: P("stage"), stacked)
+
+
+def make_pp_transformer_apply(
+    cfg: TransformerConfig, mesh: Mesh, n_micro: int, remat: bool = False
+):
+    """Jittable ``(embed_params, stacked_layers, ids, mask, type_ids) ->
+    last hidden state [B, L, hidden]`` running the blocks as an S-stage
+    pipeline over ``mesh``'s "stage" axis with ``n_micro`` microbatches.
+
+    ``embed_params``: the non-layer entries of ``init_transformer_params``
+    (tok/pos/type_emb + emb_ln), replicated. ``stacked_layers``:
+    ``stack_layer_params(params["layers"], S)``, sharded ``P("stage")``.
+    B must be divisible by ``n_micro``.
+    """
+    if cfg.attention != "xla":
+        raise ValueError("pipeline stages support the XLA attention path")
+    S = mesh.shape["stage"]
+    M = n_micro
+
+    def pipeline(stacked_local, xs, biases):
+        # stacked_local leaves: [1, L/S, ...] (this stage's blocks).
+        blocks = jax.tree.map(lambda a: a[0], stacked_local)
+        stage = jax.lax.axis_index("stage")
+
+        def apply_stage(x, bias):
+            def body(h, lp):
+                return transformer_block(h, lp, cfg, bias), None
+
+            h, _ = jax.lax.scan(body, x, blocks)
+            return h
+
+        if remat:
+            apply_stage = jax.checkpoint(apply_stage)
+
+        perm = [(i, i + 1) for i in range(S - 1)]
+
+        def tick(carry, t):
+            x_cur, b_cur, outbuf = carry
+            # stage 0 ingests microbatch t (clamped in the drain ticks);
+            # later stages consume what ppermute delivered last tick.
+            feed = jnp.clip(t, 0, M - 1)
+            x0 = jax.lax.dynamic_index_in_dim(xs, feed, 0, keepdims=False)
+            b0 = jax.lax.dynamic_index_in_dim(biases, feed, 0, keepdims=False)
+            first = stage == 0
+            y = apply_stage(
+                jnp.where(first, x0, x_cur), jnp.where(first, b0, b_cur)
+            )
+            # the last stage retires microbatch t-(S-1) once the fill ticks
+            # are done; other stages write a masked no-op.
+            out_idx = jnp.clip(t - (S - 1), 0, M - 1)
+            valid = jnp.logical_and(stage == S - 1, t >= S - 1)
+            cur = jax.lax.dynamic_index_in_dim(
+                outbuf, out_idx, 0, keepdims=False
+            )
+            outbuf = jax.lax.dynamic_update_index_in_dim(
+                outbuf, jnp.where(valid, y, cur), out_idx, 0
+            )
+            if S > 1:
+                x_nxt = jax.lax.ppermute(y, "stage", perm)
+                b_nxt = jax.lax.ppermute(
+                    jnp.where(first, b0, b_cur), "stage", perm
+                )
+            else:
+                x_nxt, b_nxt = y, b_cur
+            return (x_nxt, b_nxt, outbuf), None
+
+        zero_x = jnp.zeros_like(xs[0])
+        zero_b = jnp.zeros_like(biases[0])
+        outbuf = jnp.zeros_like(xs)
+        (_, _, outbuf), _ = jax.lax.scan(
+            tick, (zero_x, zero_b, outbuf), jnp.arange(M + S - 1)
+        )
+        # broadcast the last stage's buffer to every shard (psum of
+        # one-hot contributions; its AD transpose is a psum again, which
+        # routes the output cotangent back into the last stage).
+        is_last = (stage == S - 1).astype(outbuf.dtype)
+        return jax.lax.psum(outbuf * is_last, "stage")
+
+    sharded = shard_map(
+        pipeline,
+        mesh=mesh,
+        in_specs=(P("stage"), P(), P()),  # prefix spec: leading axis of
+        out_specs=P(),                    # every stacked leaf is "stage"
+        check_vma=False,  # outputs replicated by the psum broadcast
+    )
+
+    def apply(embed_params, stacked_layers, ids, mask, type_ids=None):
+        B, L = ids.shape
+        if B % M != 0:
+            raise ValueError(f"batch {B} not divisible into {M} microbatches")
+        x = transformer_embed(embed_params, cfg, ids, type_ids)
+        bias = attention_mask_inputs(cfg, mask)
+        mb = B // M
+        xs = x.reshape((M, mb) + x.shape[1:])
+        biases = bias.reshape((M, mb) + bias.shape[1:])
+        out = sharded(stacked_layers, xs, biases)
+        return out.reshape((B,) + out.shape[2:])
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel verdict training
+# ---------------------------------------------------------------------------
+
+
+def pp_verdict_params(params: Dict[str, Any], n_stages: int):
+    """``init_verdict_params`` tree -> PP layout: replicated embeddings +
+    head, layer blocks stacked [S, L/S, ...] for ``P("stage")`` sharding."""
+    body = params["body"]
+    return {
+        "embed": {
+            k: body[k] for k in ("tok_emb", "pos_emb", "type_emb", "emb_ln")
+        },
+        "stages": stack_layer_params(body["layers"], n_stages),
+        "head_dense": params["head_dense"],
+        "head_out": params["head_out"],
+    }
+
+
+def pp_verdict_specs(pp_params) -> Dict[str, Any]:
+    """PartitionSpec tree for ``pp_verdict_params``'s layout (feeds
+    ``tp.shard_tree`` / ``tp.init_sharded_opt_state``)."""
+    return {
+        "embed": jax.tree.map(lambda _: P(), pp_params["embed"]),
+        "stages": stage_specs(pp_params["stages"]),
+        "head_dense": jax.tree.map(lambda _: P(), pp_params["head_dense"]),
+        "head_out": jax.tree.map(lambda _: P(), pp_params["head_out"]),
+    }
+
+
+def make_pp_verdict_train_step(cfg, mesh: Mesh, n_micro: int, remat: bool = False):
+    """Pipeline-parallel twin of ``verdict.model.make_verdict_train_step``:
+    same loss, optimizer, and body-freeze schedule, with the encoder blocks
+    run as an S-stage GPipe pipeline (backward schedule derived by AD).
+    AdamW is elementwise, so PP training == single-device training leaf for
+    leaf (``tests/test_pp.py``)."""
+    import optax
+
+    from ircl_tpu.verdict.model import make_verdict_optimizer, verdict_head
+
+    tx = make_verdict_optimizer(cfg)
+    pp_apply = make_pp_transformer_apply(cfg.encoder, mesh, n_micro, remat)
+
+    def loss_fn(params, ids, mask, type_ids, labels):
+        hidden = pp_apply(
+            params["embed"], params["stages"], ids, mask, type_ids
+        )
+        logits = verdict_head(params, hidden[:, 0, :])
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels
+        ).mean()
+        return loss, jnp.argmax(logits, axis=-1)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, step_idx, ids, mask, type_ids, labels):
+        (loss, preds), grads = grad_fn(params, ids, mask, type_ids, labels)
+        if cfg.freeze_body_until_warmup:
+            body_on = (step_idx >= cfg.warmup_steps).astype(jnp.float32)
+
+            def gate(tree):
+                return jax.tree.map(lambda g: g * body_on, tree)
+
+            grads = dict(
+                grads, embed=gate(grads["embed"]), stages=gate(grads["stages"])
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        if cfg.freeze_body_until_warmup:
+            # zeroed grads alone do not freeze under AdamW: decoupled decay
+            # still updates params — zero the body UPDATES too (same rule
+            # as the single-device step, verdict/model.py)
+            updates = dict(
+                updates,
+                embed=gate(updates["embed"]),
+                stages=gate(updates["stages"]),
+            )
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, preds
+
+    return step, tx

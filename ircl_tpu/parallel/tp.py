@@ -106,6 +106,29 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def make_sp_constrainer(mesh: Mesh):
+    """Megatron sequence parallelism (SP) as one GSPMD annotation.
+
+    Returns a hook for ``transformer_apply(..., constrain=...)`` that pins
+    the inter-block activations [B, L, hidden] to
+    ``P("data", "model", None)`` — batch over ``data``, *sequence* over
+    ``model``. With the weights Megatron-sharded (``transformer_param_specs``)
+    the partial-sum all-reduces after attention-o and ff2 land exactly at
+    these constraints, so XLA lowers each into a reduce-scatter (into the
+    sequence-sharded LN + residual region) plus an all-gather before the
+    next block's column-parallel matmuls — the Megatron-LM SP communication
+    pattern (same total bytes, but the LN/residual/dropout work and its
+    activation memory drop by the TP degree). The reference has no model
+    parallelism at all (SURVEY.md §2.2); this is new TPU-native surface.
+    """
+    sharding = NamedSharding(mesh, P("data", "model", None))
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, sharding)
+
+    return constrain
+
+
 def _state_specs(state, params_treedef, param_specs):
     """Specs for an optax state: any subtree with exactly the params'
     structure (mu, nu, trace, ...) gets the param specs; everything else

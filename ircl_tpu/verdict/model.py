@@ -57,10 +57,17 @@ def verdict_apply(
     ids: jnp.ndarray,
     mask: jnp.ndarray,
     type_ids: Optional[jnp.ndarray] = None,
+    constrain=None,  # activation-sharding hook (sequence parallelism)
 ) -> jnp.ndarray:
     """Logits [B, num_labels]."""
-    hidden = transformer_apply(params["body"], cfg.encoder, ids, mask, type_ids)
-    cls = hidden[:, 0, :]
+    hidden = transformer_apply(
+        params["body"], cfg.encoder, ids, mask, type_ids, constrain=constrain
+    )
+    return verdict_head(params, hidden[:, 0, :])
+
+
+def verdict_head(params: Dict[str, Any], cls: jnp.ndarray) -> jnp.ndarray:
+    """roberta-style two-layer tanh head: [B, hidden] -> [B, num_labels]."""
     x = jnp.tanh(
         jnp.dot(cls, params["head_dense"]["w"], preferred_element_type=jnp.float32)
         + params["head_dense"]["b"]
@@ -91,11 +98,14 @@ def make_verdict_optimizer(cfg: VerdictConfig) -> optax.GradientTransformation:
     return optax.adamw(schedule, weight_decay=1e-4)
 
 
-def make_verdict_train_step(cfg: VerdictConfig):
+def make_verdict_train_step(cfg: VerdictConfig, constrain=None):
+    """``constrain``: optional activation-sharding hook threaded into the
+    transformer body (``parallel.tp.make_sp_constrainer`` for Megatron
+    sequence parallelism on a TP mesh); None leaves the step unchanged."""
     tx = make_verdict_optimizer(cfg)
 
     def loss_fn(params, ids, mask, type_ids, labels):
-        logits = verdict_apply(params, cfg, ids, mask, type_ids)
+        logits = verdict_apply(params, cfg, ids, mask, type_ids, constrain)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()

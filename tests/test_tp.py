@@ -91,6 +91,35 @@ def test_tp_dp_matches_single_device():
         )
 
 
+def test_tp_sp_matches_single_device():
+    """Sequence parallelism (make_sp_constrainer) is one GSPMD annotation on
+    the inter-block activations — it must not change the math: TP(4) x DP(2)
+    with SP reproduces the single-device training run."""
+    from ircl_tpu.parallel.tp import make_sp_constrainer
+
+    step_ref, tx = make_verdict_train_step(CFG)
+    params0 = init_verdict_params(jax.random.PRNGKey(4), CFG)
+    batches = [_batch(s + 20) for s in range(3)]
+    p_ref, losses_ref = _train(
+        jax.tree.map(jnp.array, params0), tx.init(params0), step_ref, batches
+    )
+
+    mesh = make_tp_mesh(model=4, data=2)
+    step_sp, _ = make_verdict_train_step(CFG, constrain=make_sp_constrainer(mesh))
+    specs = verdict_param_specs(params0)
+    p_sp = shard_tree(jax.tree.map(jnp.array, params0), specs, mesh)
+    o_sp = init_sharded_opt_state(tx, p_sp, mesh, specs)
+    p_sp, losses_sp = _train(
+        p_sp, o_sp, step_sp, batches, shard=lambda *a: shard_batch(mesh, *a)
+    )
+
+    np.testing.assert_allclose(losses_sp, losses_ref, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(p_sp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        )
+
+
 def test_tp_params_actually_sharded():
     mesh = make_tp_mesh(model=4, data=2)
     params = init_verdict_params(jax.random.PRNGKey(1), CFG)
