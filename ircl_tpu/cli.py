@@ -160,6 +160,18 @@ def cmd_train(args):
     sampler = DocPairSampler(
         docs, sample=args.sample, similarity=sim, seed=args.seed
     )
+    mesh = None
+    if args.dp:
+        import jax
+
+        from ircl_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if n > 1:
+            mesh = make_mesh(("data",))
+            print(f"data-parallel training over {n} devices")
+        else:
+            print("--dp requested but only 1 device visible; single-device")
     trainer = ContrastiveTrainer(
         train_cfg,
         _featurizer(cfg),
@@ -168,6 +180,7 @@ def cmd_train(args):
         logdir=cfg.logdir,
         tag=f"{args.sample}_{train_cfg.loss}_LSTM",
         seed=args.seed,
+        mesh=mesh,
     )
     if args.resume:
         print(f"resumed at step {trainer.maybe_resume()}")
@@ -487,6 +500,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=1337)
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--log-step", type=int, default=1000)
+    t.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel training over all visible devices",
+    )
     t.add_argument("--resume", action="store_true")
     t.set_defaults(fn=cmd_train)
 

@@ -42,6 +42,7 @@ class ContrastiveTrainer:
         logdir: str = "log",
         tag: Optional[str] = None,
         seed: int = 1337,
+        mesh=None,  # jax.sharding.Mesh with a "data" axis: real DP training
     ):
         self.config = config
         self.featurizer = featurizer
@@ -49,9 +50,31 @@ class ContrastiveTrainer:
         self.ckptdir = ckptdir
         self.tag = tag or f"{sampler.sample}_{config.loss}_LSTM"
         self.metrics = MetricsLogger(logdir, self.tag)
-        self.step_fn = make_train_step(config, featurizer)
+        if mesh is not None:
+            # Data-parallel step (parallel/dp.py): same math, global batch
+            # sharded over the mesh's "data" axis; micro_batch must divide
+            # the axis size. Batches/proto inputs are committed per call.
+            from ircl_tpu.parallel.dp import make_dp_train_step
+
+            dp_step, self._place_state, place_batch, place_proto = (
+                make_dp_train_step(config, featurizer, mesh)
+            )
+
+            def step_fn(state, ids_a, mask_a, ids_k, mask_k, proto=None):
+                return dp_step(
+                    state,
+                    *place_batch(ids_a, mask_a, ids_k, mask_k),
+                    place_proto(proto),
+                )
+
+            self.step_fn = step_fn
+        else:
+            self._place_state = lambda s: s
+            self.step_fn = make_train_step(config, featurizer)
         self.embed_fn = make_embed_fn(config, featurizer)
-        self.state = init_train_state(jax.random.PRNGKey(seed), config)
+        self.state = self._place_state(
+            init_train_state(jax.random.PRNGKey(seed), config)
+        )
         self._proto_key = jax.random.PRNGKey(seed + 1)
         self.cluster_result: Optional[ClusterResult] = None
         # cumulative cluster-refresh cost (full-corpus embed + clustering);
@@ -64,7 +87,7 @@ class ContrastiveTrainer:
     def maybe_resume(self) -> int:
         path = latest_checkpoint(self.ckptdir, self.tag)
         if path:
-            self.state = restore_state(path, self.state)
+            self.state = self._place_state(restore_state(path, self.state))
         return int(self.state.step)
 
     # -- clustering ---------------------------------------------------------

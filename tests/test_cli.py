@@ -150,3 +150,27 @@ def test_cli_serve_two_stage_stdin(workspace, monkeypatch, capsys):
     )
     second = boot()  # warm boot: loads the cached table
     assert second == first
+
+
+def test_cli_train_dp(workspace, capsys):
+    """`cli train --dp` runs the trainer over the virtual 8-device mesh."""
+    ws, cfg = workspace
+    cli_main(
+        [
+            "--config", cfg,
+            "--set", "train.micro_batch=8",
+            "--set", "train.accum_steps=1",
+            "--set", "train.queue_size=16",
+            "--set", "featurizer.dim=16",
+            "--set", "featurizer.max_len=8",
+            "--set", "train.encoder.input_size=16",
+            "--set", "train.encoder.hidden_size=8",
+            "--set", "train.encoder.output_size=8",
+            "--set", "train.encoder.num_layers=1",
+            "train", "--steps", "2", "--log-step", "2", "--seed", "11",
+            "--dp",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "data-parallel training over 8 devices" in out
+    assert "finished at step 2" in out

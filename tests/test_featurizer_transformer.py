@@ -135,7 +135,7 @@ def test_dp_train_step_on_mesh(feat):
 
     cfg = dataclasses.replace(CFG, micro_batch=8, accum_steps=1)
     mesh = make_mesh(("data",))
-    step, place_state, place_batch = make_dp_train_step(cfg, feat, mesh)
+    step, place_state, place_batch, _ = make_dp_train_step(cfg, feat, mesh)
     state = place_state(init_train_state(jax.random.PRNGKey(0), cfg))
     batch = place_batch(
         *_batch(feat, np.random.default_rng(1), cfg.accum_steps, cfg.micro_batch)
