@@ -269,6 +269,11 @@ def cmd_train_verdict(args):
         [e.claim for e in examples] + [e.evidence_text for e in examples],
         vocab_size=args.vocab_size,
     )
+    moe = None
+    if getattr(args, "moe_experts", 0):
+        from ircl_tpu.models.moe import MoEConfig
+
+        moe = MoEConfig(num_experts=args.moe_experts, top_k=args.moe_topk)
     vcfg = VerdictConfig(
         encoder=TransformerConfig(
             vocab_size=tok.vocab_size,
@@ -277,6 +282,7 @@ def cmd_train_verdict(args):
             heads=args.heads,
             intermediate=4 * args.hidden,
             max_positions=cfg.verdict.max_length,
+            moe=moe,
         ),
         learning_rate=cfg.verdict.learning_rate,
         warmup_steps=cfg.verdict.warmup_steps,
@@ -332,6 +338,10 @@ def cmd_eval_verdict(args):
     with open(os.path.join(cfg.ckptdir, "verdict_config.json")) as f:
         meta = json.load(f)
     enc_kwargs = {k: v for k, v in meta["encoder"].items() if k != "dtype"}
+    if enc_kwargs.get("moe"):  # dataclasses.asdict flattened MoEConfig
+        from ircl_tpu.models.moe import MoEConfig
+
+        enc_kwargs["moe"] = MoEConfig(**enc_kwargs["moe"])
     vcfg = VerdictConfig(
         encoder=TransformerConfig(**enc_kwargs),
         num_labels=meta["num_labels"],
@@ -517,6 +527,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--hidden", type=int, default=256)
     v.add_argument("--layers", type=int, default=4)
     v.add_argument("--heads", type=int, default=4)
+    v.add_argument(
+        "--moe-experts", type=int, default=0,
+        help="replace each FFN with a mixture of N experts (0 = dense)",
+    )
+    v.add_argument("--moe-topk", type=int, default=2)
     v.set_defaults(fn=cmd_train_verdict)
 
     ev = sub.add_parser("eval-verdict")

@@ -1,0 +1,168 @@
+"""Mixture-of-Experts FFN (GShard-style dense dispatch) for the transformer.
+
+The reference has no MoE and no model parallelism of any kind (SURVEY.md
+§2.2 — its BERT featurizer and RoBERTa verdict model are single-GPU,
+``src/QA/model.py:10-37``); this is new TPU-native surface: the scaling
+path for the verdict/featurizer FFNs past what TP alone can hold, and the
+expert-parallel ("ep") axis of the multi-chip design next to DP/TP/SP/PP.
+
+Design (TPU-idiomatic — everything is static-shaped einsums on the MXU,
+no gather/scatter):
+
+- Top-k routing with a capacity limit, expressed as GShard's dense
+  dispatch/combine tensors ``[B, S, E, C]`` (group = batch row, S tokens
+  per group, E experts, C slots per expert). Tokens that overflow an
+  expert's capacity are dropped (their FFN delta is zero; the residual
+  connection passes them through) — the standard GShard/Switch semantics.
+- Expert weights carry a leading ``[E, ...]`` axis; the per-expert FFN is
+  one batched einsum pair, so sharding that axis ``P("expert")`` makes
+  GSPMD turn the dispatch/combine einsums into all-to-alls over ICI
+  (``parallel/ep.py``). No model-code changes for multi-chip: sharding is
+  a property of the arrays plus one optional activation constraint.
+- The router runs in f32 (softmax stability); the expert matmuls follow
+  the same ``preferred_element_type=f32`` convention as the dense blocks.
+- Load-balance auxiliary loss (Switch eq. 4): ``E * sum_e f_e * P_e``
+  over the top-1 assignment fractions ``f`` and mean router probs ``P``;
+  1.0 when perfectly balanced. Weighted into the training loss by
+  ``VerdictConfig.moe_aux_weight``.
+
+With ``num_experts=1, top_k=1, capacity_factor>=1`` the layer reduces to
+the dense FFN exactly (up to the gate's 1e-9 normalizer) —
+``tests/test_ep.py`` pins that, plus EP(4)xDP(2) == single-device
+training, capacity enforcement, and shard layouts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MoEConfig:
+    num_experts: int = 8
+    top_k: int = 2
+    # per-expert slots C = ceil(capacity_factor * top_k * S / E)
+    capacity_factor: float = 1.25
+
+
+def moe_capacity(seq_len: int, ecfg: MoEConfig) -> int:
+    """Static per-expert slot count for a given sequence length."""
+    return max(
+        1,
+        math.ceil(
+            ecfg.capacity_factor * ecfg.top_k * seq_len / ecfg.num_experts
+        ),
+    )
+
+
+def init_moe_ffn_params(key: jax.Array, hidden: int, intermediate: int,
+                        num_experts: int):
+    """{"router","ff1","ff2"} with expert-leading ``[E, ...]`` weights."""
+    kr, k1, k2 = jax.random.split(key, 3)
+    E, h, i = num_experts, hidden, intermediate
+
+    def init(k, shape):
+        return 0.02 * jax.random.normal(k, shape, jnp.float32)
+
+    return {
+        "router": {"w": init(kr, (h, E))},
+        "ff1": {"w": init(k1, (E, h, i)), "b": jnp.zeros((E, i))},
+        "ff2": {"w": init(k2, (E, i, h)), "b": jnp.zeros((E, h))},
+    }
+
+
+def moe_route(logits: jnp.ndarray, ecfg: MoEConfig, capacity: int):
+    """Router logits [B, S, E] (f32) -> (dispatch, combine, aux).
+
+    ``dispatch`` [B, S, E, C]: one-hot token->slot assignment (0/1);
+    ``combine`` is ``dispatch`` scaled by the normalized top-k gate.
+    Slot order: all rank-0 picks pack an expert's slots before rank-1
+    picks, each in token order; assignments past C are dropped.
+    """
+    B, S, E = logits.shape
+    C = capacity
+    probs = jax.nn.softmax(logits, axis=-1)
+    remaining = probs
+    sels, gates = [], []
+    for _ in range(ecfg.top_k):
+        idx = jnp.argmax(remaining, axis=-1)  # [B, S]
+        onehot = jax.nn.one_hot(idx, E, dtype=probs.dtype)
+        sels.append(onehot)
+        gates.append(jnp.sum(probs * onehot, axis=-1))  # [B, S]
+        remaining = remaining * (1.0 - onehot)
+    denom = sum(gates) + 1e-9
+
+    counts = jnp.zeros((B, 1, E), probs.dtype)  # slots already taken
+    dispatch = jnp.zeros((B, S, E, C), probs.dtype)
+    combine = jnp.zeros((B, S, E, C), probs.dtype)
+    for onehot, gate in zip(sels, gates):
+        # position of each selected token within its expert's slot list
+        pos = jnp.cumsum(onehot, axis=1) - onehot + counts  # [B, S, E]
+        keep = onehot * (pos < C)
+        # one_hot returns all-zeros for indices >= C, so overflow drops out
+        slot = jax.nn.one_hot(
+            pos.astype(jnp.int32), C, dtype=probs.dtype
+        ) * keep[..., None]
+        dispatch = dispatch + slot
+        combine = combine + slot * (gate / denom)[..., None, None]
+        counts = counts + jnp.sum(keep, axis=1, keepdims=True)
+
+    # Switch load-balance loss over the top-1 assignment: 1.0 == balanced
+    f = jnp.mean(sels[0], axis=(0, 1))  # [E] fraction routed to e
+    p = jnp.mean(probs, axis=(0, 1))  # [E] mean router prob
+    aux = E * jnp.sum(f * p)
+    return dispatch, combine, aux
+
+
+def moe_ffn(x: jnp.ndarray, p, ecfg: MoEConfig, ep_constrain=None):
+    """MoE FFN sublayer: [B, S, h] -> ([B, S, h], aux loss scalar).
+
+    ``ep_constrain`` (``parallel.ep.make_ep_constrainer``) pins the
+    [E, B, C, h] expert slabs to ``P("expert", "data")`` so GSPMD lowers
+    the dispatch/combine einsums into all-to-alls at exactly this
+    boundary; None keeps the layer single-device.
+    """
+    B, S, h = x.shape
+    dtype = x.dtype
+    C = moe_capacity(S, ecfg)
+    logits = jnp.einsum(
+        "bsh,he->bse",
+        x.astype(jnp.float32),
+        p["router"]["w"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    dispatch, combine, aux = moe_route(logits, ecfg, C)
+
+    # [E, B, C, h] expert slabs: leading axis shards over "expert"
+    ein = jnp.einsum(
+        "bsec,bsh->ebch", dispatch.astype(dtype), x,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    if ep_constrain is not None:
+        ein = ep_constrain(ein)
+    h1 = jax.nn.gelu(
+        jnp.einsum(
+            "ebch,ehi->ebci", ein, p["ff1"]["w"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        + p["ff1"]["b"][:, None, None, :],
+        approximate=False,
+    )
+    eout = (
+        jnp.einsum(
+            "ebci,eih->ebch", h1, p["ff2"]["w"].astype(dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        + p["ff2"]["b"][:, None, None, :]
+    )
+    if ep_constrain is not None:
+        eout = ep_constrain(eout)
+    y = jnp.einsum(
+        "bsec,ebch->bsh", combine.astype(dtype), eout,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return y, aux

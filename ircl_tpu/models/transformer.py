@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ircl_tpu.models.moe import MoEConfig, init_moe_ffn_params, moe_ffn
+
 
 @dataclasses.dataclass(frozen=True)
 class TransformerConfig:
@@ -49,6 +51,10 @@ class TransformerConfig:
     # (Pallas TPU kernel; pad tokens are isolated via segment ids and
     # their garbage outputs masked by downstream pooling)
     attention: str = "xla"
+    # Mixture-of-Experts FFN in every block (models/moe.py); None = dense.
+    # When set, transformer_block returns (x, aux) and training should use
+    # transformer_apply_with_aux for the load-balance loss.
+    moe: Optional[MoEConfig] = None
 
 
 def _dense_init(key, shape, scale=0.02):
@@ -56,7 +62,11 @@ def _dense_init(key, shape, scale=0.02):
 
 
 def init_transformer_params(key: jax.Array, cfg: TransformerConfig) -> Dict:
-    keys = iter(jax.random.split(key, 8 + 12 * cfg.layers))
+    # NOTE: the split count is part of the RNG stream (split(key, N)[i]
+    # depends on N) — the dense count must stay 8 + 12*L so existing golden
+    # inits are stable; the MoE variant gets its own stream.
+    n_keys = 8 + (16 if cfg.moe is not None else 12) * cfg.layers
+    keys = iter(jax.random.split(key, n_keys))
     p: Dict[str, Any] = {
         "tok_emb": _dense_init(next(keys), (cfg.vocab_size, cfg.hidden)),
         "pos_emb": _dense_init(
@@ -68,18 +78,22 @@ def init_transformer_params(key: jax.Array, cfg: TransformerConfig) -> Dict:
     }
     for _ in range(cfg.layers):
         h, i = cfg.hidden, cfg.intermediate
-        p["layers"].append(
-            {
-                "q": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
-                "k": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
-                "v": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
-                "o": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
-                "attn_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
-                "ff1": {"w": _dense_init(next(keys), (h, i)), "b": jnp.zeros(i)},
-                "ff2": {"w": _dense_init(next(keys), (i, h)), "b": jnp.zeros(h)},
-                "ff_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
-            }
-        )
+        lp = {
+            "q": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+            "k": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+            "v": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+            "o": {"w": _dense_init(next(keys), (h, h)), "b": jnp.zeros(h)},
+            "attn_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+            "ff_ln": {"scale": jnp.ones(h), "bias": jnp.zeros(h)},
+        }
+        if cfg.moe is not None:
+            lp["moe"] = init_moe_ffn_params(
+                next(keys), h, i, cfg.moe.num_experts
+            )
+        else:
+            lp["ff1"] = {"w": _dense_init(next(keys), (h, i)), "b": jnp.zeros(i)}
+            lp["ff2"] = {"w": _dense_init(next(keys), (i, h)), "b": jnp.zeros(h)}
+        p["layers"].append(lp)
     return p
 
 
@@ -135,18 +149,13 @@ def attention_mask_inputs(cfg: TransformerConfig, mask: jnp.ndarray):
     return (1.0 - mask[:, None, None, :].astype(cfg.dtype)) * neg  # [B,1,1,L]
 
 
-def transformer_block(
+def attention_sublayer(
     x: jnp.ndarray,  # [B, L, hidden]
     lp: Dict,  # one entry of params["layers"]
     cfg: TransformerConfig,
     attn_ctx,  # attention_mask_inputs(cfg, mask)
 ) -> jnp.ndarray:
-    """One post-LN encoder block (MHA -> Add&LN -> GELU FFN -> Add&LN).
-
-    Factored out so the pipeline-parallel stage runner (``parallel/pp.py``)
-    can ``lax.scan`` it over stacked layer params; ``transformer_apply``'s
-    python loop calls the same function, so PP == single-device numerics by
-    construction."""
+    """MHA -> Add&LN (the first half of a post-LN block)."""
     B, L, _ = x.shape
     dtype = cfg.dtype
     nh = cfg.heads
@@ -178,20 +187,44 @@ def transformer_block(
             preferred_element_type=jnp.float32,
         ).astype(dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
-    x = _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
+    return _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
+
+
+def transformer_block(
+    x: jnp.ndarray,  # [B, L, hidden]
+    lp: Dict,  # one entry of params["layers"]
+    cfg: TransformerConfig,
+    attn_ctx,  # attention_mask_inputs(cfg, mask)
+    ep_constrain=None,  # expert-parallel all-to-all hook (parallel/ep.py)
+):
+    """One post-LN encoder block (MHA -> Add&LN -> FFN -> Add&LN).
+
+    Factored out so the pipeline-parallel stage runner (``parallel/pp.py``)
+    can ``lax.scan`` it over stacked layer params; ``transformer_apply``'s
+    python loop calls the same function, so PP == single-device numerics by
+    construction.
+
+    Returns the hidden state; with ``cfg.moe`` set, the FFN is the MoE
+    layer and the return is ``(x, aux)`` (load-balance loss) instead —
+    ``cfg`` is static so callers branch at trace time."""
+    x = attention_sublayer(x, lp, cfg, attn_ctx)
+    if cfg.moe is not None:
+        y, aux = moe_ffn(x, lp["moe"], cfg.moe, ep_constrain)
+        return _ln(x + y, lp["ff_ln"], cfg.layernorm_eps), aux
     ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
     return _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
 
 
-def transformer_apply(
+def transformer_apply_with_aux(
     params: Dict,
     cfg: TransformerConfig,
     ids: jnp.ndarray,  # [B, L] int32
     mask: jnp.ndarray,  # [B, L] f32 (1 = real token)
     type_ids: Optional[jnp.ndarray] = None,
     constrain=None,  # optional activation-sharding hook (parallel/tp.py SP)
-) -> jnp.ndarray:
-    """Last hidden state [B, L, hidden].
+    ep_constrain=None,  # optional expert-parallel hook (parallel/ep.py)
+):
+    """(last hidden state [B, L, hidden], mean MoE aux loss — 0 if dense).
 
     ``constrain`` (e.g. ``parallel.tp.make_sp_constrainer``) is applied to
     the [B, L, hidden] activations after the embedding LN and after every
@@ -202,11 +235,33 @@ def transformer_apply(
     if constrain is not None:
         x = constrain(x)
     attn_ctx = attention_mask_inputs(cfg, mask)
+    aux_total = jnp.zeros((), jnp.float32)
     for lp in params["layers"]:
-        x = transformer_block(x, lp, cfg, attn_ctx)
+        if cfg.moe is not None:
+            x, aux = transformer_block(x, lp, cfg, attn_ctx, ep_constrain)
+            aux_total = aux_total + aux
+        else:
+            x = transformer_block(x, lp, cfg, attn_ctx)
         if constrain is not None:
             x = constrain(x)
-    return x
+    return x, aux_total / max(len(params["layers"]), 1)
+
+
+def transformer_apply(
+    params: Dict,
+    cfg: TransformerConfig,
+    ids: jnp.ndarray,  # [B, L] int32
+    mask: jnp.ndarray,  # [B, L] f32 (1 = real token)
+    type_ids: Optional[jnp.ndarray] = None,
+    constrain=None,
+    ep_constrain=None,
+) -> jnp.ndarray:
+    """Last hidden state [B, L, hidden] (MoE aux loss discarded —
+    inference / frozen-featurizer path; training on an MoE config should
+    use ``transformer_apply_with_aux``)."""
+    return transformer_apply_with_aux(
+        params, cfg, ids, mask, type_ids, constrain, ep_constrain
+    )[0]
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,11 @@ def make_pp_transformer_apply(
     """
     if cfg.attention != "xla":
         raise ValueError("pipeline stages support the XLA attention path")
+    if cfg.moe is not None:
+        raise ValueError(
+            "PP stages scan the dense transformer_block; MoE layers scale "
+            "over the expert axis instead (parallel/ep.py)"
+        )
     S = mesh.shape["stage"]
     M = n_micro
 

@@ -23,6 +23,7 @@ from ircl_tpu.models.transformer import (
     TransformerConfig,
     init_transformer_params,
     transformer_apply,
+    transformer_apply_with_aux,
     _dense_init,
 )
 
@@ -36,6 +37,8 @@ class VerdictConfig:
     total_steps: int = 50_000
     freeze_body_until_warmup: bool = True
     max_length: int = 512
+    # weight on the MoE load-balance aux loss (only if encoder.moe is set)
+    moe_aux_weight: float = 0.01
 
 
 def init_verdict_params(key: jax.Array, cfg: VerdictConfig) -> Dict[str, Any]:
@@ -58,12 +61,29 @@ def verdict_apply(
     mask: jnp.ndarray,
     type_ids: Optional[jnp.ndarray] = None,
     constrain=None,  # activation-sharding hook (sequence parallelism)
+    ep_constrain=None,  # expert-parallel hook (parallel/ep.py, MoE only)
 ) -> jnp.ndarray:
-    """Logits [B, num_labels]."""
-    hidden = transformer_apply(
-        params["body"], cfg.encoder, ids, mask, type_ids, constrain=constrain
+    """Logits [B, num_labels] (MoE aux discarded — inference path)."""
+    return verdict_apply_with_aux(
+        params, cfg, ids, mask, type_ids, constrain, ep_constrain
+    )[0]
+
+
+def verdict_apply_with_aux(
+    params: Dict[str, Any],
+    cfg: VerdictConfig,
+    ids: jnp.ndarray,
+    mask: jnp.ndarray,
+    type_ids: Optional[jnp.ndarray] = None,
+    constrain=None,
+    ep_constrain=None,
+):
+    """(logits [B, num_labels], MoE load-balance aux — 0 for dense)."""
+    hidden, aux = transformer_apply_with_aux(
+        params["body"], cfg.encoder, ids, mask, type_ids,
+        constrain=constrain, ep_constrain=ep_constrain,
     )
-    return verdict_head(params, hidden[:, 0, :])
+    return verdict_head(params, hidden[:, 0, :]), aux
 
 
 def verdict_head(params: Dict[str, Any], cls: jnp.ndarray) -> jnp.ndarray:
@@ -98,17 +118,24 @@ def make_verdict_optimizer(cfg: VerdictConfig) -> optax.GradientTransformation:
     return optax.adamw(schedule, weight_decay=1e-4)
 
 
-def make_verdict_train_step(cfg: VerdictConfig, constrain=None):
+def make_verdict_train_step(cfg: VerdictConfig, constrain=None,
+                            ep_constrain=None):
     """``constrain``: optional activation-sharding hook threaded into the
     transformer body (``parallel.tp.make_sp_constrainer`` for Megatron
-    sequence parallelism on a TP mesh); None leaves the step unchanged."""
+    sequence parallelism on a TP mesh); ``ep_constrain``
+    (``parallel.ep.make_ep_constrainer``) pins the MoE expert slabs for
+    expert parallelism. None leaves the step unchanged."""
     tx = make_verdict_optimizer(cfg)
 
     def loss_fn(params, ids, mask, type_ids, labels):
-        logits = verdict_apply(params, cfg, ids, mask, type_ids, constrain)
+        logits, aux = verdict_apply_with_aux(
+            params, cfg, ids, mask, type_ids, constrain, ep_constrain
+        )
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()
+        if cfg.encoder.moe is not None:
+            loss = loss + cfg.moe_aux_weight * aux
         return loss, jnp.argmax(logits, axis=-1)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
