@@ -54,13 +54,18 @@ from ircl_tpu.models.transformer import (
 )
 
 
-def make_pp_mesh(stages: int = None, devices=None) -> Mesh:
-    """1-D ("stage",) mesh; defaults to all devices."""
+def make_pp_mesh(stages: int = None, data: int = 1, devices=None) -> Mesh:
+    """("data", "stage") mesh; defaults to data=1, stages=all devices.
+
+    With ``data > 1`` the same GPipe schedule runs as ``data`` replicas
+    (each over its own ``stages`` chips), microbatch elements sharded over
+    ``data`` — GSPMD adds the gradient psum across replicas, composing PP
+    with DP in one jitted step (``tests/test_pp.py::test_pp_dp_...``)."""
     devices = devices if devices is not None else jax.devices()
     if stages is None:
-        stages = len(devices)
-    arr = np.array(devices[:stages])
-    return Mesh(arr, ("stage",))
+        stages = len(devices) // data
+    arr = np.array(devices[: data * stages]).reshape(data, stages)
+    return Mesh(arr, ("data", "stage"))
 
 
 def stack_layer_params(layers: List[Dict], n_stages: int):
@@ -169,18 +174,28 @@ def make_pp_transformer_apply(
         is_last = (stage == S - 1).astype(outbuf.dtype)
         return jax.lax.psum(outbuf * is_last, "stage")
 
+    # Stacked weights: leading axis "stage", replicated over "data".
+    # Activations [M, mb, ...]: microbatch elements sharded over "data"
+    # (each DP replica pipelines its slice; batch elements never interact
+    # inside a block, so the schedule is unchanged per replica).
+    d_size = mesh.shape.get("data", 1)
+    mb_spec = P(None, "data") if d_size > 1 else P()
     sharded = shard_map(
         pipeline,
         mesh=mesh,
-        in_specs=(P("stage"), P(), P()),  # prefix spec: leading axis of
-        out_specs=P(),                    # every stacked leaf is "stage"
-        check_vma=False,  # outputs replicated by the psum broadcast
+        in_specs=(P("stage"), mb_spec, mb_spec),  # prefix spec: leading
+        out_specs=mb_spec,                        # axis of stacked = stage
+        check_vma=False,  # outputs replicated over stage by the psum
     )
 
     def apply(embed_params, stacked_layers, ids, mask, type_ids=None):
         B, L = ids.shape
         if B % M != 0:
             raise ValueError(f"batch {B} not divisible into {M} microbatches")
+        if (B // M) % d_size != 0:
+            raise ValueError(
+                f"microbatch {B // M} not divisible over data axis {d_size}"
+            )
         x = transformer_embed(embed_params, cfg, ids, type_ids)
         bias = attention_mask_inputs(cfg, mask)
         mb = B // M

@@ -135,6 +135,49 @@ def test_pp_train_matches_single_device(remat):
             )
 
 
+def test_pp_dp_train_matches_single_device():
+    """PP(4) x DP(2) on a ("data", "stage") mesh: two pipeline replicas
+    with microbatch elements sharded over "data"; GSPMD adds the gradient
+    psum. Must reproduce single-device losses AND final params."""
+    from ircl_tpu.parallel.tp import shard_batch
+
+    step_ref, tx_ref = make_verdict_train_step(VCFG)
+    params0 = init_verdict_params(jax.random.PRNGKey(6), VCFG)
+    batches = [_batch(s + 40, B=8) for s in range(3)]
+
+    p_ref = jax.tree.map(jnp.array, params0)
+    o_ref = tx_ref.init(p_ref)
+    losses_ref = []
+    for i, (ids, mask, types, labels) in enumerate(batches):
+        p_ref, o_ref, loss, _ = step_ref(
+            p_ref, o_ref, jnp.asarray(i), ids, mask, types, labels
+        )
+        losses_ref.append(float(loss))
+
+    S, M = 4, 4
+    mesh = make_pp_mesh(S, data=2)
+    step_pp, tx_pp = make_pp_verdict_train_step(VCFG, mesh, n_micro=M)
+    pp0 = pp_verdict_params(jax.tree.map(jnp.array, params0), S)
+    specs = pp_verdict_specs(pp0)
+    p_pp = shard_tree(pp0, specs, mesh)
+    o_pp = init_sharded_opt_state(tx_pp, p_pp, mesh, specs)
+    losses_pp = []
+    for i, (ids, mask, types, labels) in enumerate(batches):
+        ids, mask, types, labels = shard_batch(mesh, ids, mask, types, labels)
+        p_pp, o_pp, loss, _ = step_pp(
+            p_pp, o_pp, jnp.asarray(i), ids, mask, types, labels
+        )
+        losses_pp.append(float(loss))
+
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=2e-5, atol=2e-6)
+    got_layers = unstack_layer_params(p_pp["stages"])
+    for got, ref in zip(got_layers, p_ref["body"]["layers"]):
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+            )
+
+
 def test_pp_stage_params_actually_sharded():
     mesh = make_pp_mesh(4)
     params = init_verdict_params(jax.random.PRNGKey(3), VCFG)
