@@ -316,6 +316,10 @@ def worker(args):
                         log(f"latency B={B}: shape not warmed, skipping")
                         continue
             sub = claims[:B]
+            # burn-in: the first calls at a new shape pay the compile-cache
+            # load + lazy upload (~seconds) and would pollute p95
+            for _ in range(2):
+                np.asarray(jax.tree.leaves(async_fn(sub, K))[0])
             lat = []
             for _ in range(20):
                 t0 = time.time()

@@ -31,6 +31,10 @@ def main():
     # reference shape is B=8 (src/QA/train.py:31-43); bigger batches show
     # the chip's actual headroom at the same model shape
     ap.add_argument("--batch", type=int, default=8)
+    # N-expert MoE FFN instead of the dense FFN (models/moe.py); measures
+    # the single-chip cost of the expert-parallel model variant
+    ap.add_argument("--moe-experts", type=int, default=0)
+    ap.add_argument("--moe-topk", type=int, default=2)
     args = ap.parse_args()
 
     from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
@@ -55,6 +59,12 @@ def main():
         verdict_predict,
     )
 
+    moe = None
+    if args.moe_experts:
+        from ircl_tpu.models.moe import MoEConfig
+
+        moe = MoEConfig(num_experts=args.moe_experts, top_k=args.moe_topk)
+
     B, L = args.batch, 512  # reference: B=8, src/QA/train.py:31-43
     results = {}
     for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
@@ -70,6 +80,7 @@ def main():
             layernorm_eps=1e-5,
             dtype=dtype,
             attention=args.attention,
+            moe=moe,
         )
         cfg = VerdictConfig(encoder=enc, warmup_steps=100, max_length=L)
         params = init_verdict_params(jax.random.PRNGKey(0), cfg)
@@ -125,6 +136,9 @@ def main():
 
     results["attention"] = args.attention
     results["batch"] = B
+    if moe is not None:
+        results["moe_experts"] = moe.num_experts
+        results["moe_topk"] = moe.top_k
     print(
         json.dumps(
             {

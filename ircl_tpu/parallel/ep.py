@@ -46,9 +46,37 @@ def make_ep_mesh(
     return Mesh(arr, ("data", "expert"))
 
 
-def moe_layer_specs() -> Dict[str, Any]:
+def make_ep_tp_mesh(
+    expert: int, model: int, data: Optional[int] = None, devices=None
+) -> Mesh:
+    """("data", "expert", "model") mesh for the 3-axis DP x EP x TP layout."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // (expert * model)
+    assert data * expert * model == n, (data, expert, model, n)
+    arr = np.array(devices).reshape(data, expert, model)
+    return Mesh(arr, ("data", "expert", "model"))
+
+
+def moe_layer_specs(tp: bool = False) -> Dict[str, Any]:
     """Specs for one ``init_moe_ffn_params`` tree: experts sharded on the
-    leading axis, router replicated (it is [h, E] — tiny)."""
+    leading axis, router replicated (it is [h, E] — tiny). ``tp=True``
+    additionally Megatron-shards each expert's FFN over "model": ff1
+    column-parallel, ff2 row-parallel — the per-expert all-reduce lands at
+    the combine boundary, nested inside the expert all-to-alls."""
+    if tp:
+        return {
+            "router": {"w": P()},
+            "ff1": {
+                "w": P("expert", None, "model"),
+                "b": P("expert", "model"),
+            },
+            "ff2": {
+                "w": P("expert", "model", None),
+                "b": P("expert", None),
+            },
+        }
     return {
         "router": {"w": P()},
         "ff1": {"w": P("expert", None, None), "b": P("expert", None)},
@@ -56,16 +84,26 @@ def moe_layer_specs() -> Dict[str, Any]:
     }
 
 
-def moe_transformer_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+def moe_transformer_param_specs(
+    params: Dict[str, Any], tp: bool = False
+) -> Dict[str, Any]:
     """PartitionSpec tree for an MoE ``init_transformer_params`` layout:
-    attention + embeddings replicated, expert weights ``P("expert")``."""
+    expert weights ``P("expert")``; with ``tp=True`` the attention blocks
+    take the Megatron layout over "model" (same as
+    ``tp.transformer_param_specs``) and each expert's FFN is TP-sharded
+    too — the full DP x EP x TP composition on a
+    ``("data", "expert", "model")`` mesh."""
     rep = P()
     ln = {"scale": rep, "bias": rep}
-    att = {"w": rep, "b": rep}
+    if tp:
+        att_col = {"w": P(None, "model"), "b": P("model")}
+        att_row = {"w": P("model", None), "b": rep}
+    else:
+        att_col = att_row = {"w": rep, "b": rep}
     layer = {
-        "q": att, "k": att, "v": att, "o": att,
+        "q": att_col, "k": att_col, "v": att_col, "o": att_row,
         "attn_ln": ln,
-        "moe": moe_layer_specs(),
+        "moe": moe_layer_specs(tp),
         "ff_ln": ln,
     }
     return {
@@ -77,11 +115,13 @@ def moe_transformer_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
-def moe_verdict_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+def moe_verdict_param_specs(
+    params: Dict[str, Any], tp: bool = False
+) -> Dict[str, Any]:
     """Specs for ``init_verdict_params`` over an MoE encoder."""
     rep_dense = {"w": P(), "b": P()}
     return {
-        "body": moe_transformer_param_specs(params["body"]),
+        "body": moe_transformer_param_specs(params["body"], tp),
         "head_dense": rep_dense,
         "head_out": rep_dense,
     }

@@ -57,6 +57,44 @@ def restore_state(path: str, template: TrainState) -> TrainState:
     return TrainState(**{k: jax.tree.map(jax.numpy.asarray, v) for k, v in restored.items()})
 
 
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) checkpointing: save a TP/PP/EP/DP-sharded train state
+# without a host gather, and restore it directly INTO target shardings —
+# including a DIFFERENT mesh layout than it was saved from (elastic resume).
+# The reference is single-GPU (its save_model pickles a state_dict,
+# ``src/model.py:76-99``); this is new TPU-native surface.
+# ---------------------------------------------------------------------------
+
+
+def save_sharded(path: str, tree) -> str:
+    """Save a pytree of (possibly sharded) jax.Arrays as-is via orbax.
+
+    No ``np.asarray`` host gather: each process writes its addressable
+    shards, so checkpoint IO scales with the mesh instead of serializing
+    through one host (the single-device ``save_state`` path keeps the
+    host-gather behavior for the contrastive trainer's small states).
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_sharded(path: str, like):
+    """Restore into the shardings of ``like`` (a pytree of jax.Arrays or
+    ShapeDtypeStructs carrying ``.sharding``). Orbax reshards on read, so
+    a state saved from one mesh layout (e.g. TP(4) x DP(2)) restores onto
+    another (e.g. TP(2) x DP(4)) without a host round-trip."""
+
+    def abstract(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), jax.tree.map(abstract, like))
+
+
 def latest_checkpoint(ckptdir: str, tag: str) -> Optional[str]:
     if not os.path.isdir(ckptdir):
         return None

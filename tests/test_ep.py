@@ -208,3 +208,50 @@ def test_moe_config_json_roundtrip():
         kwargs["moe"] = MoEConfig(**kwargs["moe"])
     enc2 = TransformerConfig(**kwargs)
     assert enc2.moe == MOE and enc2 == ENC
+
+
+def test_ep_tp_dp_matches_single_device():
+    """3-axis composition: EP(2) x TP(2) x DP(2) on a ("data", "expert",
+    "model") mesh — experts sharded over "expert", each expert's FFN AND
+    the attention Megatron-sharded over "model", batch over "data". Must
+    reproduce single-device training (losses AND final params)."""
+    from ircl_tpu.parallel.ep import make_ep_tp_mesh
+
+    step, tx = make_verdict_train_step(CFG)
+    params0 = init_verdict_params(jax.random.PRNGKey(9), CFG)
+    batches = [_batch(s + 60) for s in range(3)]
+
+    def train(params, opt_state, step_fn, shard=None):
+        losses = []
+        for i, (ids, mask, types, labels) in enumerate(batches):
+            if shard is not None:
+                ids, mask, types, labels = shard(ids, mask, types, labels)
+            params, opt_state, loss, _ = step_fn(
+                params, opt_state, jnp.asarray(i), ids, mask, types, labels
+            )
+            losses.append(float(loss))
+        return params, losses
+
+    p_ref, losses_ref = train(
+        jax.tree.map(jnp.array, params0), tx.init(params0), step
+    )
+
+    mesh = make_ep_tp_mesh(expert=2, model=2, data=2)
+    ep_step, _ = make_verdict_train_step(
+        CFG, ep_constrain=make_ep_constrainer(mesh)
+    )
+    specs = moe_verdict_param_specs(params0, tp=True)
+    p_ep = shard_tree(jax.tree.map(jnp.array, params0), specs, mesh)
+    o_ep = init_sharded_opt_state(tx, p_ep, mesh, specs)
+    # expert ff1 [4, 16, 32]: 4/expert(2) x 32/model(2)
+    w = p_ep["body"]["layers"][0]["moe"]["ff1"]["w"]
+    assert {s.data.shape for s in w.addressable_shards} == {(2, 16, 16)}
+    p_ep, losses_ep = train(
+        p_ep, o_ep, ep_step, shard=lambda *a: shard_batch(mesh, *a)
+    )
+
+    np.testing.assert_allclose(losses_ep, losses_ref, rtol=2e-5, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(p_ep), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        )
