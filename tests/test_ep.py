@@ -255,3 +255,29 @@ def test_ep_tp_dp_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
         )
+
+
+def test_moe_route_fuzz_invariants():
+    """Routing invariants hold across random (E, top_k, cf, S) configs:
+    slots never double-booked, per-expert load <= C, per-token fan-out
+    <= top_k, combine gates normalized <= 1 and supported on dispatch."""
+    rng = np.random.default_rng(42)
+    for trial in range(25):
+        E = int(rng.integers(1, 9))
+        top_k = int(rng.integers(1, E + 1))
+        cf = float(rng.uniform(0.2, 3.0))
+        S = int(rng.integers(2, 33))
+        B = int(rng.integers(1, 5))
+        ecfg = MoEConfig(num_experts=E, top_k=top_k, capacity_factor=cf)
+        C = moe_capacity(S, ecfg)
+        logits = jnp.asarray(rng.normal(size=(B, S, E)).astype(np.float32))
+        dispatch, combine, aux = moe_route(logits, ecfg, C)
+        d = np.asarray(dispatch)
+        c = np.asarray(combine)
+        msg = f"trial {trial}: E={E} k={top_k} cf={cf:.2f} S={S} B={B} C={C}"
+        assert (d.sum(axis=1) <= 1.0 + 1e-5).all(), msg
+        assert (d.sum(axis=(1, 3)) <= C + 1e-5).all(), msg
+        assert (d.sum(axis=(2, 3)) <= top_k + 1e-5).all(), msg
+        assert ((c > 0) <= (d > 0)).all(), msg
+        assert (c.sum(axis=(2, 3)) <= 1.0 + 1e-4).all(), msg
+        assert np.isfinite(float(aux)), msg
