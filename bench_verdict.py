@@ -63,7 +63,10 @@ def main():
     if args.moe_experts:
         from ircl_tpu.models.moe import MoEConfig
 
-        moe = MoEConfig(num_experts=args.moe_experts, top_k=args.moe_topk)
+        moe = MoEConfig(
+            num_experts=args.moe_experts,
+            top_k=min(args.moe_topk, args.moe_experts),
+        )
 
     B, L = args.batch, 512  # reference: B=8, src/QA/train.py:31-43
     results = {}

@@ -273,7 +273,10 @@ def cmd_train_verdict(args):
     if getattr(args, "moe_experts", 0):
         from ircl_tpu.models.moe import MoEConfig
 
-        moe = MoEConfig(num_experts=args.moe_experts, top_k=args.moe_topk)
+        moe = MoEConfig(
+            num_experts=args.moe_experts,
+            top_k=min(args.moe_topk, args.moe_experts),
+        )
     vcfg = VerdictConfig(
         encoder=TransformerConfig(
             vocab_size=tok.vocab_size,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,16 +46,33 @@ import jax.numpy as jnp
 class MoEConfig:
     num_experts: int = 8
     top_k: int = 2
-    # per-expert slots C = ceil(capacity_factor * top_k * S / E)
+    # per-expert slots C = ceil(capacity_factor * top_k * g / E) where g is
+    # the routing-group length (group_size, or the full sequence if None)
     capacity_factor: float = 1.25
+    # GShard group-dim subdivision: route in groups of this many tokens
+    # instead of whole batch rows. The dense dispatch/combine tensors are
+    # [G, g, E, C] with C proportional to g, so their memory is
+    # O(B * S * capacity_factor * top_k * g) — LINEAR in g instead of in S.
+    # At L=512 shapes with large batches, per-row grouping materializes
+    # multi-GB one-hot tensors; set group_size (e.g. 64) to bound it.
+    # Must divide the sequence length. None = one group per batch row.
+    group_size: Optional[int] = None
+
+    def __post_init__(self):
+        if not 1 <= self.top_k <= self.num_experts:
+            raise ValueError(
+                f"top_k={self.top_k} must be in [1, num_experts="
+                f"{self.num_experts}] — re-selecting an exhausted expert "
+                "would double-book its capacity slots"
+            )
 
 
-def moe_capacity(seq_len: int, ecfg: MoEConfig) -> int:
-    """Static per-expert slot count for a given sequence length."""
+def moe_capacity(group_len: int, ecfg: MoEConfig) -> int:
+    """Static per-expert slot count for a given routing-group length."""
     return max(
         1,
         math.ceil(
-            ecfg.capacity_factor * ecfg.top_k * seq_len / ecfg.num_experts
+            ecfg.capacity_factor * ecfg.top_k * group_len / ecfg.num_experts
         ),
     )
 
@@ -75,22 +93,35 @@ def init_moe_ffn_params(key: jax.Array, hidden: int, intermediate: int,
     }
 
 
-def moe_route(logits: jnp.ndarray, ecfg: MoEConfig, capacity: int):
+def moe_route(
+    logits: jnp.ndarray,
+    ecfg: MoEConfig,
+    capacity: int,
+    mask: Optional[jnp.ndarray] = None,
+):
     """Router logits [B, S, E] (f32) -> (dispatch, combine, aux).
 
     ``dispatch`` [B, S, E, C]: one-hot token->slot assignment (0/1);
     ``combine`` is ``dispatch`` scaled by the normalized top-k gate.
     Slot order: all rank-0 picks pack an expert's slots before rank-1
     picks, each in token order; assignments past C are dropped.
+
+    ``mask`` [B, S] (1 = real token): pad positions are never dispatched —
+    they consume no capacity slots, contribute zero FFN delta (the
+    residual passes them through, preserving the dense blocks' pad
+    isolation), and are excluded from the load-balance statistics.
     """
     B, S, E = logits.shape
     C = capacity
     probs = jax.nn.softmax(logits, axis=-1)
+    m = None if mask is None else mask.astype(probs.dtype)[..., None]  # [B,S,1]
     remaining = probs
     sels, gates = [], []
     for _ in range(ecfg.top_k):
         idx = jnp.argmax(remaining, axis=-1)  # [B, S]
         onehot = jax.nn.one_hot(idx, E, dtype=probs.dtype)
+        if m is not None:
+            onehot = onehot * m  # pads select nothing
         sels.append(onehot)
         gates.append(jnp.sum(probs * onehot, axis=-1))  # [B, S]
         remaining = remaining * (1.0 - onehot)
@@ -101,6 +132,7 @@ def moe_route(logits: jnp.ndarray, ecfg: MoEConfig, capacity: int):
     combine = jnp.zeros((B, S, E, C), probs.dtype)
     for onehot, gate in zip(sels, gates):
         # position of each selected token within its expert's slot list
+        # (pads have all-zero onehot, so they advance no positions)
         pos = jnp.cumsum(onehot, axis=1) - onehot + counts  # [B, S, E]
         keep = onehot * (pos < C)
         # one_hot returns all-zeros for indices >= C, so overflow drops out
@@ -111,22 +143,45 @@ def moe_route(logits: jnp.ndarray, ecfg: MoEConfig, capacity: int):
         combine = combine + slot * (gate / denom)[..., None, None]
         counts = counts + jnp.sum(keep, axis=1, keepdims=True)
 
-    # Switch load-balance loss over the top-1 assignment: 1.0 == balanced
-    f = jnp.mean(sels[0], axis=(0, 1))  # [E] fraction routed to e
-    p = jnp.mean(probs, axis=(0, 1))  # [E] mean router prob
+    # Switch load-balance loss over the top-1 assignment (real tokens
+    # only): 1.0 == balanced
+    if m is None:
+        n_real = float(B * S)
+        p = jnp.mean(probs, axis=(0, 1))  # [E] mean router prob
+    else:
+        n_real = jnp.maximum(jnp.sum(m), 1.0)
+        p = jnp.sum(probs * m, axis=(0, 1)) / n_real
+    f = jnp.sum(sels[0], axis=(0, 1)) / n_real  # [E] fraction routed to e
     aux = E * jnp.sum(f * p)
     return dispatch, combine, aux
 
 
-def moe_ffn(x: jnp.ndarray, p, ecfg: MoEConfig, ep_constrain=None):
+def moe_ffn(
+    x: jnp.ndarray,
+    p,
+    ecfg: MoEConfig,
+    ep_constrain=None,
+    mask: Optional[jnp.ndarray] = None,
+):
     """MoE FFN sublayer: [B, S, h] -> ([B, S, h], aux loss scalar).
 
     ``ep_constrain`` (``parallel.ep.make_ep_constrainer``) pins the
-    [E, B, C, h] expert slabs to ``P("expert", "data")`` so GSPMD lowers
+    [E, G, C, h] expert slabs to ``P("expert", "data")`` so GSPMD lowers
     the dispatch/combine einsums into all-to-alls at exactly this
-    boundary; None keeps the layer single-device.
+    boundary; None keeps the layer single-device. ``mask`` [B, S]
+    (1 = real token) keeps pad positions out of routing entirely.
     """
-    B, S, h = x.shape
+    Bo, So, h = x.shape
+    if ecfg.group_size is not None and ecfg.group_size < So:
+        g = ecfg.group_size
+        if So % g:
+            raise ValueError(
+                f"group_size={g} must divide the sequence length {So}"
+            )
+        x = x.reshape(Bo * (So // g), g, h)
+        if mask is not None:
+            mask = mask.reshape(Bo * (So // g), g)
+    B, S, _ = x.shape  # G groups of g tokens (== batch rows if ungrouped)
     dtype = x.dtype
     C = moe_capacity(S, ecfg)
     logits = jnp.einsum(
@@ -135,7 +190,7 @@ def moe_ffn(x: jnp.ndarray, p, ecfg: MoEConfig, ep_constrain=None):
         p["router"]["w"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    dispatch, combine, aux = moe_route(logits, ecfg, C)
+    dispatch, combine, aux = moe_route(logits, ecfg, C, mask)
 
     # [E, B, C, h] expert slabs: leading axis shards over "expert"
     ein = jnp.einsum(
@@ -165,4 +220,4 @@ def moe_ffn(x: jnp.ndarray, p, ecfg: MoEConfig, ep_constrain=None):
         "bsec,ebch->bsh", combine.astype(dtype), eout,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
-    return y, aux
+    return y.reshape(Bo, So, h), aux

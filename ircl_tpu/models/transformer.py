@@ -196,6 +196,7 @@ def transformer_block(
     cfg: TransformerConfig,
     attn_ctx,  # attention_mask_inputs(cfg, mask)
     ep_constrain=None,  # expert-parallel all-to-all hook (parallel/ep.py)
+    moe_mask=None,  # [B, L] 1 = real token; keeps pads out of MoE routing
 ):
     """One post-LN encoder block (MHA -> Add&LN -> FFN -> Add&LN).
 
@@ -209,7 +210,7 @@ def transformer_block(
     ``cfg`` is static so callers branch at trace time."""
     x = attention_sublayer(x, lp, cfg, attn_ctx)
     if cfg.moe is not None:
-        y, aux = moe_ffn(x, lp["moe"], cfg.moe, ep_constrain)
+        y, aux = moe_ffn(x, lp["moe"], cfg.moe, ep_constrain, moe_mask)
         return _ln(x + y, lp["ff_ln"], cfg.layernorm_eps), aux
     ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
     return _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
@@ -238,7 +239,9 @@ def transformer_apply_with_aux(
     aux_total = jnp.zeros((), jnp.float32)
     for lp in params["layers"]:
         if cfg.moe is not None:
-            x, aux = transformer_block(x, lp, cfg, attn_ctx, ep_constrain)
+            x, aux = transformer_block(
+                x, lp, cfg, attn_ctx, ep_constrain, moe_mask=mask
+            )
             aux_total = aux_total + aux
         else:
             x = transformer_block(x, lp, cfg, attn_ctx)

@@ -281,3 +281,67 @@ def test_moe_route_fuzz_invariants():
         assert ((c > 0) <= (d > 0)).all(), msg
         assert (c.sum(axis=(2, 3)) <= 1.0 + 1e-4).all(), msg
         assert np.isfinite(float(aux)), msg
+
+
+def test_moe_mask_keeps_pads_out_of_routing():
+    """Pad positions (mask=0) are never dispatched: zero FFN delta (the
+    residual passes them through, like the dense block), no capacity slots
+    consumed (trailing pads cannot evict real tokens), and the aux loss is
+    computed over real tokens only."""
+    ecfg = MoEConfig(num_experts=2, top_k=1, capacity_factor=1.0)
+    p = init_moe_ffn_params(jax.random.PRNGKey(0), 16, 32, 2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16), jnp.float32)
+    mask = np.ones((2, 16), np.float32)
+    mask[:, 10:] = 0.0  # 6 trailing pads per row
+    y, aux = moe_ffn(x, p, ecfg, mask=jnp.asarray(mask))
+    y = np.asarray(y)
+    assert np.abs(y[:, 10:, :]).max() == 0.0  # pads: exactly zero delta
+    assert np.abs(y[:, :10, :]).max() > 0.0  # real tokens: routed
+    # capacity check: C = ceil(1.0 * 1 * 16 / 2) = 8 slots/expert; 10 real
+    # tokens per row fit even if all pick one expert only when pads don't
+    # consume slots — verify via the route tensors directly
+    logits = jnp.einsum("bsh,he->bse", x.astype(jnp.float32), p["router"]["w"])
+    d_m, _, aux_m = moe_route(logits, ecfg, moe_capacity(16, ecfg),
+                              jnp.asarray(mask))
+    d = np.asarray(d_m)
+    assert d[:, 10:].sum() == 0.0  # pads dispatched nowhere
+    # pads consume no capacity: masked routing keeps at least as many real
+    # tokens as unmasked routing (where pads can evict real tokens)
+    d_u, _, aux_u = moe_route(logits, ecfg, moe_capacity(16, ecfg))
+    kept_masked = d[:, :10].sum()
+    kept_unmasked = np.asarray(d_u)[:, :10].sum()
+    assert kept_masked >= kept_unmasked
+    assert np.isfinite(float(aux_m)) and np.isfinite(float(aux_u))
+
+
+def test_moe_group_size_matches_ungrouped_when_no_drops():
+    """group_size subdivides routing groups (bounding the [G, g, E, C]
+    dispatch memory); with generous capacity nothing drops, so the layer
+    output matches the ungrouped layer exactly (same experts, same gates)."""
+    p = init_moe_ffn_params(jax.random.PRNGKey(2), 16, 32, 4)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16), jnp.float32)
+    base = MoEConfig(num_experts=4, top_k=2, capacity_factor=4.0)
+    grouped = MoEConfig(
+        num_experts=4, top_k=2, capacity_factor=4.0, group_size=4
+    )
+    y0, aux0 = moe_ffn(x, p, base)
+    y1, aux1 = moe_ffn(x, p, grouped)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(float(aux1), float(aux0), rtol=1e-5)
+    # group_size must divide S
+    import pytest
+
+    bad = MoEConfig(num_experts=4, top_k=2, group_size=5)
+    with pytest.raises(ValueError):
+        moe_ffn(x, p, bad)
+
+
+def test_moe_config_validates_top_k():
+    import pytest
+
+    with pytest.raises(ValueError):
+        MoEConfig(num_experts=2, top_k=3)
+    with pytest.raises(ValueError):
+        MoEConfig(num_experts=4, top_k=0)
