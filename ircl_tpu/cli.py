@@ -291,6 +291,31 @@ def cmd_train_verdict(args):
         warmup_steps=cfg.verdict.warmup_steps,
         max_length=cfg.verdict.max_length,
     )
+    mesh = None
+    dp, tp, ep = args.dp, args.tp, args.moe_ep
+    if dp > 1 or tp > 1 or ep > 1:
+        import jax
+
+        if ep > 1 and moe is None:
+            raise SystemExit("--ep requires --moe-experts")
+        devs = jax.devices()[: dp * tp * ep]
+        if len(devs) < dp * tp * ep:
+            raise SystemExit(
+                f"dp*tp*ep={dp * tp * ep} exceeds {len(devs)} devices"
+            )
+        if ep > 1 and tp > 1:
+            from ircl_tpu.parallel.ep import make_ep_tp_mesh
+
+            mesh = make_ep_tp_mesh(expert=ep, model=tp, data=dp, devices=devs)
+        elif ep > 1:
+            from ircl_tpu.parallel.ep import make_ep_mesh
+
+            mesh = make_ep_mesh(expert=ep, data=dp, devices=devs)
+        else:
+            from ircl_tpu.parallel.tp import make_tp_mesh
+
+            mesh = make_tp_mesh(model=tp, data=dp, devices=devs)
+
     ids, mask, types, labels = encode_examples(examples, tok, cfg.verdict.max_length)
     _, history = train_verdict(
         vcfg,
@@ -298,6 +323,7 @@ def cmd_train_verdict(args):
         mask,
         types,
         labels,
+        mesh=mesh,
         epochs=cfg.verdict.epochs,
         batch_size=cfg.verdict.batch_size,
         val_fraction=cfg.verdict.val_fraction,
@@ -535,6 +561,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="replace each FFN with a mixture of N experts (0 = dense)",
     )
     v.add_argument("--moe-topk", type=int, default=2)
+    # multi-chip training axes (compose; dp*tp*ep must equal the device
+    # count): --dp data parallel, --tp Megatron tensor parallel,
+    # --ep expert parallel (requires --moe-experts)
+    v.add_argument("--dp", type=int, default=1)
+    v.add_argument("--tp", type=int, default=1)
+    v.add_argument("--ep", dest="moe_ep", type=int, default=1)
     v.set_defaults(fn=cmd_train_verdict)
 
     ev = sub.add_parser("eval-verdict")

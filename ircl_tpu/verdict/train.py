@@ -79,6 +79,12 @@ def train_verdict(
     #   ``seed``. Pass a FIXED value when comparing val F1 across seed
     #   restarts — otherwise each restart is scored on a different val
     #   split and the max over restarts is upward-biased split noise
+    mesh=None,  # jax.sharding.Mesh: run the SAME loop multi-chip. Axis
+    #   names select the layout: "data" -> DP (batch sharded, grad psum),
+    #   "model" -> Megatron TP (parallel/tp.py), "expert" -> EP for MoE
+    #   encoders (parallel/ep.py); combinations compose (e.g. the 3-axis
+    #   ("data", "expert", "model") mesh). Parity with the single-device
+    #   loop is pinned by tests/test_verdict_mesh.py
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
@@ -97,8 +103,45 @@ def train_verdict(
         if init_params is not None
         else init_verdict_params(jax.random.PRNGKey(seed), cfg)
     )
-    step_fn, tx = make_verdict_train_step(cfg)
-    opt_state = tx.init(params)
+    if mesh is not None:
+        from ircl_tpu.parallel.tp import (
+            init_sharded_opt_state,
+            shard_batch,
+            shard_tree,
+            verdict_param_specs,
+        )
+
+        from jax.sharding import PartitionSpec as P
+
+        ep_constrain = None
+        has_model = "model" in mesh.axis_names
+        if cfg.encoder.moe is not None and "expert" in mesh.axis_names:
+            from ircl_tpu.parallel.ep import (
+                make_ep_constrainer,
+                moe_verdict_param_specs,
+            )
+
+            specs = moe_verdict_param_specs(params, tp=has_model)
+            ep_constrain = make_ep_constrainer(mesh)
+        elif cfg.encoder.moe is None and has_model:
+            specs = verdict_param_specs(params)
+        else:
+            # pure DP (or MoE without an expert axis): replicated params
+            specs = jax.tree.map(lambda _: P(), params)
+        step_fn, tx = make_verdict_train_step(cfg, ep_constrain=ep_constrain)
+        params = shard_tree(params, specs, mesh)
+        opt_state = init_sharded_opt_state(tx, params, mesh, specs)
+
+        def place(*arrays):
+            return shard_batch(mesh, *arrays)
+
+    else:
+        step_fn, tx = make_verdict_train_step(cfg)
+        opt_state = tx.init(params)
+
+        def place(*arrays):
+            return arrays
+
     metrics = MetricsLogger(logdir, "verdict") if logdir else None
 
     step = 0
@@ -113,10 +156,7 @@ def train_verdict(
                 params,
                 opt_state,
                 jnp.asarray(step),
-                jnp.asarray(ids[sel]),
-                jnp.asarray(mask[sel]),
-                jnp.asarray(types[sel]),
-                jnp.asarray(labels[sel]),
+                *place(ids[sel], mask[sel], types[sel], labels[sel]),
             )
             # device array, not float(): keep dispatch async within the
             # epoch (one sync at the epoch-end mean below)
