@@ -500,10 +500,20 @@ def cmd_serve(args):
         n = serve_stdin(service, sys.stdin, sys.stdout)
         print(f"served {n} requests", file=sys.stderr)
         return
-    server = serve_http(service, host=args.host, port=args.port)
+    server = serve_http(
+        service,
+        host=args.host,
+        port=args.port,
+        batch_wait_ms=args.batch_wait_ms,
+    )
+    mode = (
+        f", micro-batching {args.batch_wait_ms}ms"
+        if args.batch_wait_ms is not None
+        else ""
+    )
     print(
         f"serving on http://{args.host}:{server.server_address[1]} "
-        f"(POST /search, GET /healthz)",
+        f"(POST /search, GET /healthz, GET /metrics{mode})",
         file=sys.stderr,
     )
     server.serve_forever()
@@ -597,6 +607,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="npy cache for the corpus sentence-embedding table",
     )
     s.add_argument("--k-sents", type=int, default=5)
+    s.add_argument(
+        "--batch-wait-ms", type=float, default=None,
+        help="coalesce concurrent requests into shared device batches, "
+        "waiting up to this long for co-riders (HTTP transport only)",
+    )
     s.set_defaults(fn=cmd_serve)
     return p
 

@@ -19,8 +19,14 @@ re-ranker — applying every rule from docs/SERVING.md:
   a request batch whose term union exceeds `fixed_union_cap` (a floor, not
   a cap) still triggers a fresh remote XLA compile — size `union_cap` for
   the worst-case live traffic batch.
+- **Cross-request micro-batching.** `BatchingService` coalesces concurrent
+  doc-search requests into shared device batches (each waits at most
+  `max_wait_ms` for co-riders), so N concurrent small clients approach the
+  engine's batch throughput instead of paying one mostly-padding device
+  dispatch each. `ServiceMetrics` (`GET /metrics`) reports request/query/
+  device-dispatch counts and p50/p95 request latency.
 - **Stdlib-only transport.** `serve_http` is a `ThreadingHTTPServer` with
-  `POST /search` and `GET /healthz`; `serve_stdin` is a JSONL
+  `POST /search`, `GET /healthz`, `GET /metrics`; `serve_stdin` is a JSONL
   request-per-line loop for piping. Both parse requests through ONE shared
   validator (`parse_request`), so malformed input — wrong JSON type, bare
   string queries, non-int k — produces an error reply on either transport
@@ -35,6 +41,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -77,6 +85,54 @@ def parse_request(req) -> Tuple[List[str], Optional[int], Optional[int]]:
         return v
 
     return queries, _int_field("k"), _int_field("k_sents")
+
+
+class ServiceMetrics:
+    """Thread-safe serving counters + a bounded request-latency window.
+
+    The reference has no serving surface, hence no serving metrics; this is
+    the minimum a production endpoint needs to be operable: request/query
+    counts, device-dispatch count (the capacity unit on a pinned-shape
+    engine), and p50/p95 request latency over the last `window` requests.
+    """
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)
+        self.requests = 0
+        self.queries = 0
+        self.device_batches = 0
+        self.errors = 0
+
+    def record_request(self, n_queries: int, latency_s: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.queries += n_queries
+            self._lat.append(latency_s)
+
+    def record_dispatch(self) -> None:
+        with self._lock:
+            self.device_batches += 1
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {
+                "requests": self.requests,
+                "queries": self.queries,
+                "device_batches": self.device_batches,
+                "errors": self.errors,
+            }
+        if lat:
+            out["latency_p50_ms"] = round(1e3 * lat[len(lat) // 2], 3)
+            out["latency_p95_ms"] = round(
+                1e3 * lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3
+            )
+        return out
 
 
 class RetrievalService:
@@ -122,6 +178,7 @@ class RetrievalService:
         self.doc_sentences = doc_sentences
         self.sentence_scorer = sentence_scorer
         self.default_k_sents = default_k_sents
+        self.metrics = ServiceMetrics()
         self._lock = threading.Lock()
 
     @property
@@ -162,6 +219,7 @@ class RetrievalService:
                 chunk = list(queries[lo : lo + self.batch_size])
                 n_real = len(chunk)
                 chunk += [""] * (self.batch_size - n_real)
+                self.metrics.record_dispatch()
                 ranked = self.ranker.closest_docs_batch(chunk, k=self.k_max)
                 out.extend(
                     (ids[:k], scores[:k]) for ids, scores in ranked[:n_real]
@@ -225,6 +283,138 @@ class RetrievalService:
         return out
 
 
+class _Pending:
+    """One in-flight request inside the micro-batcher."""
+
+    __slots__ = ("queries", "k", "event", "result", "error")
+
+    def __init__(self, queries: List[str], k: int):
+        self.queries = queries
+        self.k = k
+        self.event = threading.Event()
+        self.result: Optional[List[List[dict]]] = None
+        self.error: Optional[BaseException] = None
+
+
+class BatchingService:
+    """Cross-request micro-batcher over a `RetrievalService`.
+
+    The pinned-shape engine dispatches `batch_size` query slots per device
+    call no matter how few are real (`RetrievalService._ranked` pads).
+    Under concurrent small requests that serializes one mostly-empty device
+    batch per request: N concurrent 1-query clients get batch-QPS / N each.
+    This wrapper coalesces: requests enqueue, a dispatcher thread drains the
+    queue into one device batch — immediately when `batch_size` queries are
+    waiting, else after at most `max_wait_ms` — computes at the service's
+    `k_max`, and scatters per-request slices back. Steady-state concurrent
+    throughput approaches the engine's batch throughput while an idle
+    server adds at most `max_wait_ms` to a lone request.
+
+    The reference's closest analogue is the ad-hoc per-process ThreadPool
+    in `drqa/retriever/tfidf_doc_ranker.py:100-126` (`batch_closest_docs`),
+    which only splits ONE caller's batch; it cannot coalesce independent
+    callers. Exactness: top-k slices of a shared top-k_max computation are
+    exactly each request's own answer (exact engines, score-desc order).
+    """
+
+    def __init__(self, service: RetrievalService, max_wait_ms: float = 5.0):
+        if max_wait_ms < 0:
+            raise ValueError(f"max_wait_ms must be >= 0, got {max_wait_ms}")
+        self.service = service
+        self.max_wait_s = max_wait_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: deque[_Pending] = deque()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._loop, name="ircl-batcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- client side ------------------------------------------------------
+    def search(
+        self, queries: Sequence[str], k: Optional[int] = None
+    ) -> List[List[dict]]:
+        """Same contract as `RetrievalService.search`, but the device batch
+        may be shared with concurrent callers."""
+        k = self.service._validate(queries, k)
+        if len(queries) >= self.service.batch_size:
+            # already fills device batches on its own — no point queueing
+            return self.service.search(queries, k=k)
+        pend = _Pending(list(queries), k)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingService is closed")
+            self._queue.append(pend)
+            self._cv.notify_all()
+        pend.event.wait()
+        if pend.error is not None:
+            raise pend.error
+        return pend.result
+
+    def close(self) -> None:
+        """Stop the dispatcher after draining queued requests."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
+
+    # -- dispatcher side ---------------------------------------------------
+    def _take_batch(self) -> List[_Pending]:
+        """Block until work exists, linger up to max_wait_s for co-riders,
+        then pop whole requests up to batch_size query slots."""
+        cap = self.service.batch_size
+        with self._cv:
+            while not self._queue:
+                if self._closed:
+                    return []
+                self._cv.wait()
+            deadline = time.monotonic() + self.max_wait_s
+            while (
+                sum(len(p.queries) for p in self._queue) < cap
+                and not self._closed
+            ):
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                self._cv.wait(left)
+            batch: List[_Pending] = []
+            slots = 0
+            while self._queue:
+                nxt = len(self._queue[0].queries)
+                if batch and slots + nxt > cap:
+                    break
+                p = self._queue.popleft()
+                batch.append(p)
+                slots += nxt
+            return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return  # closed and drained
+            allq = [q for p in batch for q in p.queries]
+            try:
+                ranked = self.service._ranked(allq, self.service.k_max)
+            except BaseException as e:  # propagate to every waiter
+                for p in batch:
+                    p.error = e
+                    p.event.set()
+                continue
+            lo = 0
+            for p in batch:
+                rows = ranked[lo : lo + len(p.queries)]
+                lo += len(p.queries)
+                p.result = [
+                    [
+                        {"doc_id": d, "score": float(s)}
+                        for d, s in zip(ids[: p.k], scores[: p.k])
+                    ]
+                    for ids, scores in rows
+                ]
+                p.event.set()
+
+
 def make_service(
     index_path: str,
     batch_size: int = 256,
@@ -271,19 +461,34 @@ def make_service(
     )
 
 
-def _handle(service: RetrievalService, req) -> dict:
+def _handle(service: RetrievalService, req, batcher=None) -> dict:
     """Shared request execution for both transports (already-decoded JSON
-    in, reply payload out; raises ValueError on any malformed request)."""
-    queries, k, k_sents = parse_request(req)
-    if req.get("sentences") or k_sents is not None:
-        return {
-            "results": service.search_sentences(queries, k=k, k_sents=k_sents)
-        }
-    return {"results": service.search(queries, k=k)}
+    in, reply payload out; raises ValueError on any malformed request).
+    Doc-search requests ride the micro-batcher when one is configured;
+    sentence requests (stage 2 is per-request candidate gathering) do not."""
+    t0 = time.monotonic()
+    try:
+        queries, k, k_sents = parse_request(req)
+        if req.get("sentences") or k_sents is not None:
+            payload = {
+                "results": service.search_sentences(
+                    queries, k=k, k_sents=k_sents
+                )
+            }
+        elif batcher is not None:
+            payload = {"results": batcher.search(queries, k=k)}
+        else:
+            payload = {"results": service.search(queries, k=k)}
+    except BaseException:
+        service.metrics.record_error()
+        raise
+    service.metrics.record_request(len(queries), time.monotonic() - t0)
+    return payload
 
 
 class _Handler(BaseHTTPRequestHandler):
     service: RetrievalService = None  # set by serve_http
+    batcher: Optional[BatchingService] = None  # set by serve_http
 
     def _reply(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
@@ -296,6 +501,8 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (http.server API)
         if self.path == "/healthz":
             self._reply(200, {"ok": True, "docs": self.service.num_docs})
+        elif self.path == "/metrics":
+            self._reply(200, self.service.metrics.snapshot())
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -324,7 +531,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             req = json.loads(self.rfile.read(n) or b"{}")
-            payload = _handle(self.service, req)
+            payload = _handle(self.service, req, batcher=self.batcher)
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
@@ -335,12 +542,28 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve_http(
-    service: RetrievalService, host: str = "127.0.0.1", port: int = 8080
+    service: RetrievalService,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    batch_wait_ms: Optional[float] = None,
 ) -> ThreadingHTTPServer:
     """Start the HTTP endpoint; returns the (already-bound) server — call
-    `.serve_forever()` (blocking) or drive it from a thread (tests)."""
-    handler = type("Handler", (_Handler,), {"service": service})
-    return ThreadingHTTPServer((host, port), handler)
+    `.serve_forever()` (blocking) or drive it from a thread (tests).
+    `batch_wait_ms` (not None) turns on cross-request micro-batching:
+    concurrent doc-search requests coalesce into shared device batches,
+    each waiting at most that long for co-riders. The batcher is exposed
+    as `server.batcher` (close it when tearing down a test server)."""
+    batcher = (
+        BatchingService(service, max_wait_ms=batch_wait_ms)
+        if batch_wait_ms is not None
+        else None
+    )
+    handler = type(
+        "Handler", (_Handler,), {"service": service, "batcher": batcher}
+    )
+    server = ThreadingHTTPServer((host, port), handler)
+    server.batcher = batcher
+    return server
 
 
 def serve_stdin(service: RetrievalService, infile, outfile) -> int:

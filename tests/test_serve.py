@@ -307,6 +307,129 @@ def test_stdin_jsonl_loop(ranker):
     assert replies[3]["results"][0][0]["doc_id"] == "Mars"
 
 
+def test_batcher_coalesces_concurrent_requests(ranker):
+    """8 concurrent 1-query clients share device batches: every reply is
+    bit-identical to a direct call, and the dispatch count is far below one
+    device batch per request (the whole point of the micro-batcher)."""
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=8, default_k=3)
+    svc.search(["warmup"])  # pay the engine build outside the timed window
+    base_dispatches = svc.metrics.device_batches
+    batcher = BatchingService(svc, max_wait_ms=100.0)
+    queries = [f"{q} variant {i}" for i, q in enumerate(QUERIES * 3)][:8]
+    results = [None] * len(queries)
+    start = threading.Barrier(len(queries))
+
+    def client(i):
+        start.wait()
+        results[i] = batcher.search([queries[i]])
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(len(queries))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    for i, q in enumerate(queries):
+        assert results[i] is not None, f"client {i} never completed"
+        _assert_matches_direct(results[i], ranker, [q], 3)
+    used = svc.metrics.device_batches - base_dispatches
+    assert used < len(queries), f"no coalescing happened ({used} dispatches)"
+
+
+def test_batcher_respects_per_request_k(ranker):
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=4, default_k=3, k_max=5)
+    batcher = BatchingService(svc, max_wait_ms=20.0)
+    try:
+        for k in (1, 2, 5):
+            _assert_matches_direct(
+                batcher.search(QUERIES[:1], k=k), ranker, QUERIES[:1], k
+            )
+    finally:
+        batcher.close()
+
+
+def test_batcher_large_request_passes_through(ranker):
+    # A request that already fills device batches skips the queue entirely.
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=2, default_k=2)
+    batcher = BatchingService(svc, max_wait_ms=20.0)
+    try:
+        queries = QUERIES * 2  # 6 queries > batch_size 2
+        _assert_matches_direct(batcher.search(queries), ranker, queries, 2)
+    finally:
+        batcher.close()
+
+
+def test_batcher_propagates_engine_errors(ranker):
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+
+    def boom(queries, k):
+        raise RuntimeError("engine fell over")
+
+    svc._ranked = boom
+    batcher = BatchingService(svc, max_wait_ms=5.0)
+    try:
+        with pytest.raises(RuntimeError, match="engine fell over"):
+            batcher.search(QUERIES[:1])
+        # validation errors surface synchronously, before queueing
+        with pytest.raises(ValueError):
+            batcher.search("moon")
+    finally:
+        batcher.close()
+
+
+def test_batcher_rejects_after_close(ranker):
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    batcher = BatchingService(svc, max_wait_ms=5.0)
+    batcher.close()
+    with pytest.raises(RuntimeError):
+        batcher.search(QUERIES[:1])
+    with pytest.raises(ValueError):
+        BatchingService(svc, max_wait_ms=-1.0)
+
+
+def test_http_metrics_endpoint_and_batched_transport(ranker):
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    server = serve_http(svc, host="127.0.0.1", port=0, batch_wait_ms=10.0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps({"queries": QUERIES, "k": 2}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            results = json.loads(r.read())["results"]
+        _assert_matches_direct(results, ranker, QUERIES, 2)
+        # malformed request increments the error counter
+        bad = urllib.request.Request(f"{base}/search", data=b'{"queries": 1}')
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(bad)
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            m = json.loads(r.read())
+        assert m["requests"] == 1
+        assert m["queries"] == len(QUERIES)
+        assert m["errors"] == 1
+        assert m["device_batches"] >= 1
+        assert "latency_p50_ms" in m and "latency_p95_ms" in m
+        assert m["latency_p95_ms"] >= m["latency_p50_ms"]
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
 def test_two_stage_precomputed_matches_on_the_fly(ranker):
     """A PrecomputedSentenceScorer-backed service returns the same
     sentence results as the on-the-fly embed path (serve.py routes to
