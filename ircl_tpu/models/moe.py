@@ -93,13 +93,34 @@ def init_moe_ffn_params(key: jax.Array, hidden: int, intermediate: int,
     }
 
 
+def moe_aux_from_stats(stats) -> jnp.ndarray:
+    """Switch load-balance aux from raw routing sums.
+
+    ``stats`` = {"f_sum": [E] top-1 assignment counts, "p_sum": [E] summed
+    router probs, "n": scalar real-token count}. Because the entries are
+    plain sums over tokens, stats from disjoint token sets (e.g. pipeline
+    microbatches, parallel/pp.py) ADD — summing them and applying this
+    gives exactly the aux a single global routing pass would compute.
+
+    Broadcasts over leading axes: f_sum/p_sum ``[..., E]`` with n ``[...]``
+    give a ``[...]`` aux (one per stacked layer in the PP stage scan)."""
+    n = jnp.maximum(stats["n"], 1.0)[..., None]
+    E = stats["f_sum"].shape[-1]
+    return E * jnp.sum((stats["f_sum"] / n) * (stats["p_sum"] / n), axis=-1)
+
+
 def moe_route(
     logits: jnp.ndarray,
     ecfg: MoEConfig,
     capacity: int,
     mask: Optional[jnp.ndarray] = None,
+    return_stats: bool = False,
 ):
     """Router logits [B, S, E] (f32) -> (dispatch, combine, aux).
+
+    With ``return_stats=True`` the third element is instead the raw
+    routing-sum dict consumed by ``moe_aux_from_stats`` (additive across
+    token subsets — the pipeline schedule accumulates them per microbatch).
 
     ``dispatch`` [B, S, E, C]: one-hot token->slot assignment (0/1);
     ``combine`` is ``dispatch`` scaled by the normalized top-k gate.
@@ -144,16 +165,19 @@ def moe_route(
         counts = counts + jnp.sum(keep, axis=1, keepdims=True)
 
     # Switch load-balance loss over the top-1 assignment (real tokens
-    # only): 1.0 == balanced
+    # only): 1.0 == balanced. Kept as raw sums so microbatched schedules
+    # can accumulate them (moe_aux_from_stats).
     if m is None:
-        n_real = float(B * S)
-        p = jnp.mean(probs, axis=(0, 1))  # [E] mean router prob
+        n_real = jnp.asarray(float(B * S), probs.dtype)
+        p_sum = jnp.sum(probs, axis=(0, 1))  # [E] summed router prob
     else:
-        n_real = jnp.maximum(jnp.sum(m), 1.0)
-        p = jnp.sum(probs * m, axis=(0, 1)) / n_real
-    f = jnp.sum(sels[0], axis=(0, 1)) / n_real  # [E] fraction routed to e
-    aux = E * jnp.sum(f * p)
-    return dispatch, combine, aux
+        n_real = jnp.sum(m)
+        p_sum = jnp.sum(probs * m, axis=(0, 1))
+    f_sum = jnp.sum(sels[0], axis=(0, 1))  # [E] tokens top-1-routed to e
+    stats = {"f_sum": f_sum, "p_sum": p_sum, "n": n_real}
+    if return_stats:
+        return dispatch, combine, stats
+    return dispatch, combine, moe_aux_from_stats(stats)
 
 
 def moe_ffn(
@@ -162,6 +186,7 @@ def moe_ffn(
     ecfg: MoEConfig,
     ep_constrain=None,
     mask: Optional[jnp.ndarray] = None,
+    return_stats: bool = False,
 ):
     """MoE FFN sublayer: [B, S, h] -> ([B, S, h], aux loss scalar).
 
@@ -170,6 +195,8 @@ def moe_ffn(
     the dispatch/combine einsums into all-to-alls at exactly this
     boundary; None keeps the layer single-device. ``mask`` [B, S]
     (1 = real token) keeps pad positions out of routing entirely.
+    ``return_stats=True`` returns the additive routing sums instead of the
+    aux scalar (``moe_aux_from_stats``) for microbatched accumulation.
     """
     Bo, So, h = x.shape
     if ecfg.group_size is not None and ecfg.group_size < So:
@@ -190,7 +217,9 @@ def moe_ffn(
         p["router"]["w"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    dispatch, combine, aux = moe_route(logits, ecfg, C, mask)
+    dispatch, combine, aux = moe_route(
+        logits, ecfg, C, mask, return_stats=return_stats
+    )
 
     # [E, B, C, h] expert slabs: leading axis shards over "expert"
     ein = jnp.einsum(

@@ -197,6 +197,7 @@ def transformer_block(
     attn_ctx,  # attention_mask_inputs(cfg, mask)
     ep_constrain=None,  # expert-parallel all-to-all hook (parallel/ep.py)
     moe_mask=None,  # [B, L] 1 = real token; keeps pads out of MoE routing
+    moe_stats: bool = False,  # return additive routing sums instead of aux
 ):
     """One post-LN encoder block (MHA -> Add&LN -> FFN -> Add&LN).
 
@@ -207,10 +208,17 @@ def transformer_block(
 
     Returns the hidden state; with ``cfg.moe`` set, the FFN is the MoE
     layer and the return is ``(x, aux)`` (load-balance loss) instead —
-    ``cfg`` is static so callers branch at trace time."""
+    ``cfg`` is static so callers branch at trace time. ``moe_stats=True``
+    swaps the aux scalar for the raw routing-sum dict
+    (``models.moe.moe_aux_from_stats``) so microbatched schedulers
+    (parallel/pp.py) can accumulate sums across microbatches and recover
+    the exact global aux."""
     x = attention_sublayer(x, lp, cfg, attn_ctx)
     if cfg.moe is not None:
-        y, aux = moe_ffn(x, lp["moe"], cfg.moe, ep_constrain, moe_mask)
+        y, aux = moe_ffn(
+            x, lp["moe"], cfg.moe, ep_constrain, moe_mask,
+            return_stats=moe_stats,
+        )
         return _ln(x + y, lp["ff_ln"], cfg.layernorm_eps), aux
     ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
     return _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)

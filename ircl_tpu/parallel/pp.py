@@ -31,8 +31,11 @@ Design (TPU-idiomatic, no torch-style stage processes):
 
 Numerics: every microbatch goes through the identical ``transformer_block``
 ops in the identical order, and batch elements never interact inside a
-block (LN is over hidden, attention over sequence), so PP == single-device
-up to f32 reduction reordering (``tests/test_pp.py`` pins it).
+block (LN is over hidden, attention over sequence; MoE routing groups
+subdivide batch rows), so PP == single-device up to f32 reduction
+reordering (``tests/test_pp.py`` pins it). MoE blocks pipeline too: the
+per-microbatch routing sums are accumulated across ticks and the global
+load-balance aux recovered exactly (``make_pp_transformer_apply``).
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ircl_tpu.models.moe import moe_aux_from_stats
 from ircl_tpu.models.transformer import (
     TransformerConfig,
     attention_mask_inputs,
@@ -104,28 +108,46 @@ def make_pp_transformer_apply(
     (tok/pos/type_emb + emb_ln), replicated. ``stacked_layers``:
     ``stack_layer_params(params["layers"], S)``, sharded ``P("stage")``.
     B must be divisible by ``n_micro``.
+
+    With ``cfg.moe`` set the return is ``(hidden, aux)``: MoE routing
+    groups never cross batch rows (``models/moe.py`` — capacity is per
+    group and groups subdivide rows), so microbatching is routing-neutral
+    and the pipelined forward equals the single-device forward exactly.
+    Only the load-balance aux sums over the whole batch: each stage
+    accumulates the raw routing sums (``moe_stats=True``) per valid tick,
+    and the global per-layer aux is recovered from the summed stats
+    (``moe_aux_from_stats``) — bitwise the same statistic a single global
+    pass computes, up to f32 reassociation. Experts stay replicated within
+    a stage (EP's GSPMD constraint can't apply inside shard_map); MoE
+    scaling across chips composes as EP x DP outside PP (parallel/ep.py).
     """
     if cfg.attention != "xla":
         raise ValueError("pipeline stages support the XLA attention path")
-    if cfg.moe is not None:
-        raise ValueError(
-            "PP stages scan the dense transformer_block; MoE layers scale "
-            "over the expert axis instead (parallel/ep.py)"
-        )
     S = mesh.shape["stage"]
     M = n_micro
+    moe = cfg.moe is not None
 
-    def pipeline(stacked_local, xs, biases):
+    def pipeline(stacked_local, xs, masks):
         # stacked_local leaves: [1, L/S, ...] (this stage's blocks).
         blocks = jax.tree.map(lambda a: a[0], stacked_local)
+        per = jax.tree.leaves(blocks)[0].shape[0]
         stage = jax.lax.axis_index("stage")
 
-        def apply_stage(x, bias):
+        def apply_stage(x, mask):
+            bias = attention_mask_inputs(cfg, mask)
+            if moe:
+                def body(h, lp):
+                    return transformer_block(
+                        h, lp, cfg, bias, moe_mask=mask, moe_stats=True
+                    )
+
+                return jax.lax.scan(body, x, blocks)  # (h, stats [per,...])
+
             def body(h, lp):
                 return transformer_block(h, lp, cfg, bias), None
 
             h, _ = jax.lax.scan(body, x, blocks)
-            return h
+            return h, None
 
         if remat:
             apply_stage = jax.checkpoint(apply_stage)
@@ -133,46 +155,71 @@ def make_pp_transformer_apply(
         perm = [(i, i + 1) for i in range(S - 1)]
 
         def tick(carry, t):
-            x_cur, b_cur, outbuf = carry
+            x_cur, m_cur, outbuf, acc = carry
             # stage 0 ingests microbatch t (clamped in the drain ticks);
             # later stages consume what ppermute delivered last tick.
             feed = jnp.clip(t, 0, M - 1)
             x0 = jax.lax.dynamic_index_in_dim(xs, feed, 0, keepdims=False)
-            b0 = jax.lax.dynamic_index_in_dim(biases, feed, 0, keepdims=False)
+            m0 = jax.lax.dynamic_index_in_dim(masks, feed, 0, keepdims=False)
             first = stage == 0
-            y = apply_stage(
-                jnp.where(first, x0, x_cur), jnp.where(first, b0, b_cur)
-            )
+            x_in = jnp.where(first, x0, x_cur)
+            m_in = jnp.where(first, m0, m_cur)
+            y, stats = apply_stage(x_in, m_in)
+            if moe:
+                # stage s holds microbatch t-s this tick; fill ticks carry
+                # zeros and stage-0 drain ticks re-feed a clamped microbatch
+                # — only in-window ticks contribute routing stats.
+                valid = jnp.logical_and(t >= stage, t - stage <= M - 1)
+                vf = valid.astype(jnp.float32)
+                acc = jax.tree.map(lambda a, s_: a + s_ * vf, acc, stats)
             # the last stage retires microbatch t-(S-1) once the fill ticks
             # are done; other stages write a masked no-op.
             out_idx = jnp.clip(t - (S - 1), 0, M - 1)
-            valid = jnp.logical_and(stage == S - 1, t >= S - 1)
+            valid_out = jnp.logical_and(stage == S - 1, t >= S - 1)
             cur = jax.lax.dynamic_index_in_dim(
                 outbuf, out_idx, 0, keepdims=False
             )
             outbuf = jax.lax.dynamic_update_index_in_dim(
-                outbuf, jnp.where(valid, y, cur), out_idx, 0
+                outbuf, jnp.where(valid_out, y, cur), out_idx, 0
             )
             if S > 1:
                 x_nxt = jax.lax.ppermute(y, "stage", perm)
-                b_nxt = jax.lax.ppermute(
-                    jnp.where(first, b0, b_cur), "stage", perm
-                )
+                m_nxt = jax.lax.ppermute(m_in, "stage", perm)
             else:
-                x_nxt, b_nxt = y, b_cur
-            return (x_nxt, b_nxt, outbuf), None
+                x_nxt, m_nxt = y, m_in
+            return (x_nxt, m_nxt, outbuf, acc), None
 
         zero_x = jnp.zeros_like(xs[0])
-        zero_b = jnp.zeros_like(biases[0])
+        zero_m = jnp.zeros_like(masks[0])
         outbuf = jnp.zeros_like(xs)
-        (_, _, outbuf), _ = jax.lax.scan(
-            tick, (zero_x, zero_b, outbuf), jnp.arange(M + S - 1)
+        if moe:
+            E = cfg.moe.num_experts
+            acc0 = {
+                "f_sum": jnp.zeros((per, E), jnp.float32),
+                "p_sum": jnp.zeros((per, E), jnp.float32),
+                "n": jnp.zeros((per,), jnp.float32),
+            }
+        else:
+            acc0 = None
+        (_, _, outbuf, acc), _ = jax.lax.scan(
+            tick, (zero_x, zero_m, outbuf, acc0), jnp.arange(M + S - 1)
         )
         # broadcast the last stage's buffer to every shard (psum of
         # one-hot contributions; its AD transpose is a psum again, which
         # routes the output cotangent back into the last stage).
         is_last = (stage == S - 1).astype(outbuf.dtype)
-        return jax.lax.psum(outbuf * is_last, "stage")
+        out = jax.lax.psum(outbuf * is_last, "stage")
+        if not moe:
+            return out
+        # DP replicas hold disjoint token sets: their raw sums ADD.
+        if "data" in mesh.shape and mesh.shape["data"] > 1:
+            acc = jax.lax.psum(acc, "data")
+        # per-layer aux from global sums, summed over this stage's layers;
+        # stages hold disjoint layers so the scalars psum, and /L gives the
+        # same layer-mean as transformer_apply_with_aux.
+        aux = jnp.sum(moe_aux_from_stats(acc))
+        aux = jax.lax.psum(aux, "stage") / float(S * per)
+        return out, aux
 
     # Stacked weights: leading axis "stage", replicated over "data".
     # Activations [M, mb, ...]: microbatch elements sharded over "data"
@@ -184,7 +231,7 @@ def make_pp_transformer_apply(
         pipeline,
         mesh=mesh,
         in_specs=(P("stage"), mb_spec, mb_spec),  # prefix spec: leading
-        out_specs=mb_spec,                        # axis of stacked = stage
+        out_specs=(mb_spec, P()) if moe else mb_spec,  # stacked ax = stage
         check_vma=False,  # outputs replicated over stage by the psum
     )
 
@@ -197,11 +244,13 @@ def make_pp_transformer_apply(
                 f"microbatch {B // M} not divisible over data axis {d_size}"
             )
         x = transformer_embed(embed_params, cfg, ids, type_ids)
-        bias = attention_mask_inputs(cfg, mask)
         mb = B // M
         xs = x.reshape((M, mb) + x.shape[1:])
-        biases = bias.reshape((M, mb) + bias.shape[1:])
-        out = sharded(stacked_layers, xs, biases)
+        ms = mask.reshape((M, mb) + mask.shape[1:])
+        if moe:
+            out, aux = sharded(stacked_layers, xs, ms)
+            return out.reshape((B,) + out.shape[2:]), aux
+        out = sharded(stacked_layers, xs, ms)
         return out.reshape((B,) + out.shape[2:])
 
     return apply
@@ -251,13 +300,16 @@ def make_pp_verdict_train_step(cfg, mesh: Mesh, n_micro: int, remat: bool = Fals
     pp_apply = make_pp_transformer_apply(cfg.encoder, mesh, n_micro, remat)
 
     def loss_fn(params, ids, mask, type_ids, labels):
-        hidden = pp_apply(
+        res = pp_apply(
             params["embed"], params["stages"], ids, mask, type_ids
         )
+        hidden, aux = res if cfg.encoder.moe is not None else (res, None)
         logits = verdict_head(params, hidden[:, 0, :])
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels
         ).mean()
+        if cfg.encoder.moe is not None:
+            loss = loss + cfg.moe_aux_weight * aux
         return loss, jnp.argmax(logits, axis=-1)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
