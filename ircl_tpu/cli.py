@@ -292,8 +292,24 @@ def cmd_train_verdict(args):
         max_length=cfg.verdict.max_length,
     )
     mesh = None
-    dp, tp, ep = args.dp, args.tp, args.moe_ep
-    if dp > 1 or tp > 1 or ep > 1:
+    dp, tp, ep, pp = args.dp, args.tp, args.moe_ep, args.pp
+    if pp > 1 and (tp > 1 or ep > 1):
+        raise SystemExit(
+            "--pp composes with --dp only (the pipeline's shard_map "
+            "cannot host TP/EP GSPMD constraints)"
+        )
+    if pp > 1:
+        import jax
+
+        if args.layers % pp:
+            raise SystemExit(f"--layers {args.layers} not divisible by --pp {pp}")
+        devs = jax.devices()[: dp * pp]
+        if len(devs) < dp * pp:
+            raise SystemExit(f"dp*pp={dp * pp} exceeds {len(devs)} devices")
+        from ircl_tpu.parallel.pp import make_pp_mesh
+
+        mesh = make_pp_mesh(stages=pp, data=dp, devices=devs)
+    elif dp > 1 or tp > 1 or ep > 1:
         import jax
 
         if ep > 1 and moe is None:
@@ -324,6 +340,7 @@ def cmd_train_verdict(args):
         types,
         labels,
         mesh=mesh,
+        pp_micro=args.pp_micro,
         epochs=cfg.verdict.epochs,
         batch_size=cfg.verdict.batch_size,
         val_fraction=cfg.verdict.val_fraction,
@@ -577,6 +594,14 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--dp", type=int, default=1)
     v.add_argument("--tp", type=int, default=1)
     v.add_argument("--ep", dest="moe_ep", type=int, default=1)
+    v.add_argument(
+        "--pp", type=int, default=1,
+        help="GPipe pipeline stages (composes with --dp; layers %% pp == 0)",
+    )
+    v.add_argument(
+        "--pp-micro", dest="pp_micro", type=int, default=4,
+        help="microbatches per step on a --pp mesh (batch %% micro == 0)",
+    )
     v.set_defaults(fn=cmd_train_verdict)
 
     ev = sub.add_parser("eval-verdict")

@@ -275,6 +275,20 @@ def pp_verdict_params(params: Dict[str, Any], n_stages: int):
     }
 
 
+def verdict_params_from_pp(pp_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of ``pp_verdict_params``: PP layout -> the standard
+    ``init_verdict_params`` tree (for validation/prediction, checkpoint
+    interchange, and returning a layout-stable result from the training
+    loop regardless of mesh)."""
+    body = dict(pp_params["embed"])
+    body["layers"] = unstack_layer_params(pp_params["stages"])
+    return {
+        "body": body,
+        "head_dense": pp_params["head_dense"],
+        "head_out": pp_params["head_out"],
+    }
+
+
 def pp_verdict_specs(pp_params) -> Dict[str, Any]:
     """PartitionSpec tree for ``pp_verdict_params``'s layout (feeds
     ``tp.shard_tree`` / ``tp.init_sharded_opt_state``)."""

@@ -82,9 +82,14 @@ def train_verdict(
     mesh=None,  # jax.sharding.Mesh: run the SAME loop multi-chip. Axis
     #   names select the layout: "data" -> DP (batch sharded, grad psum),
     #   "model" -> Megatron TP (parallel/tp.py), "expert" -> EP for MoE
-    #   encoders (parallel/ep.py); combinations compose (e.g. the 3-axis
+    #   encoders (parallel/ep.py), "stage" -> GPipe pipeline parallelism
+    #   (parallel/pp.py; composes with "data" only — PP runs its own
+    #   shard_map schedule, inside which TP/EP's GSPMD constraints cannot
+    #   apply). Other combinations compose (e.g. the 3-axis
     #   ("data", "expert", "model") mesh). Parity with the single-device
     #   loop is pinned by tests/test_verdict_mesh.py
+    pp_micro: int = 4,  # microbatches per step on a "stage" mesh;
+    #   batch_size must divide into them
 ):
     rng = np.random.default_rng(seed)
     n = len(ids)
@@ -103,7 +108,42 @@ def train_verdict(
         if init_params is not None
         else init_verdict_params(jax.random.PRNGKey(seed), cfg)
     )
-    if mesh is not None:
+    to_std = lambda p: p  # mesh layouts may differ; val/save use this view
+    if mesh is not None and "stage" in mesh.axis_names:
+        if "model" in mesh.axis_names or "expert" in mesh.axis_names:
+            raise ValueError(
+                'a "stage" (PP) mesh composes with "data" only — TP/EP '
+                "GSPMD constraints cannot apply inside the pipeline's "
+                "shard_map"
+            )
+        from ircl_tpu.parallel.pp import (
+            make_pp_verdict_train_step,
+            pp_verdict_params,
+            pp_verdict_specs,
+            verdict_params_from_pp,
+        )
+        from ircl_tpu.parallel.tp import (
+            init_sharded_opt_state,
+            shard_batch,
+            shard_tree,
+        )
+
+        if batch_size % pp_micro:
+            raise ValueError(
+                f"batch_size={batch_size} not divisible into "
+                f"pp_micro={pp_micro} microbatches"
+            )
+        params = pp_verdict_params(params, mesh.shape["stage"])
+        specs = pp_verdict_specs(params)
+        step_fn, tx = make_pp_verdict_train_step(cfg, mesh, n_micro=pp_micro)
+        params = shard_tree(params, specs, mesh)
+        opt_state = init_sharded_opt_state(tx, params, mesh, specs)
+        to_std = verdict_params_from_pp
+
+        def place(*arrays):
+            return shard_batch(mesh, *arrays)
+
+    elif mesh is not None:
         from ircl_tpu.parallel.tp import (
             init_sharded_opt_state,
             shard_batch,
@@ -166,7 +206,8 @@ def train_verdict(
         rep = None
         if len(val_idx):
             preds = predict_in_batches(
-                params, cfg, ids[val_idx], mask[val_idx], types[val_idx]
+                to_std(params), cfg,
+                ids[val_idx], mask[val_idx], types[val_idx],
             )
             rep = classification_report(labels[val_idx], preds)
         history.append(
@@ -184,7 +225,7 @@ def train_verdict(
                 metrics.scalar("qa_val_macro_f1", rep["macro_f1"], step)
         if keep_best and rep is not None and rep["macro_f1"] > best_f1:
             best_f1 = rep["macro_f1"]
-            best_params = jax.tree.map(np.asarray, params)
+            best_params = jax.tree.map(np.asarray, to_std(params))
         if (
             stop_at_val_f1 is not None
             and rep is not None
@@ -192,8 +233,14 @@ def train_verdict(
         ):
             break
 
-    if keep_best and best_params is not None:
-        params = jax.tree.map(jnp.asarray, best_params)
+    # layout-stable result: PP's stacked-stage layout converts back to the
+    # standard tree so callers (eval-verdict, curriculum warm starts) never
+    # see a mesh-dependent param structure
+    params = (
+        jax.tree.map(jnp.asarray, best_params)
+        if keep_best and best_params is not None
+        else to_std(params)
+    )
 
     if save_path:
         ckptr = ocp.StandardCheckpointer()

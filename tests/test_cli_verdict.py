@@ -64,3 +64,30 @@ def test_train_and_eval_verdict_cli(workspace, capsys):
     cli_main(["--config", cfg, "eval-verdict", "--retrieved", f"{ws}/res.jsonl"])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= rep2["macro_f1"] <= 1.0
+
+
+def test_train_verdict_cli_pp_dp_mesh(workspace, capsys):
+    """--pp 2 --dp 2: the CLI builds the ("data","stage") mesh, trains
+    through the GPipe schedule, and saves a standard-layout checkpoint
+    that eval-verdict can reload."""
+    ws, cfg = workspace
+    cli_main(
+        [
+            "--config", cfg, "train-verdict",
+            "--vocab-size", "512", "--hidden", "32", "--layers", "2",
+            "--heads", "2", "--pp", "2", "--dp", "2", "--pp-micro", "4",
+        ]
+    )
+    capsys.readouterr()
+    assert os.path.exists(f"{ws}/ckpt/verdict_config.json")
+    cli_main(["--config", cfg, "eval-verdict"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= rep["macro_f1"] <= 1.0
+
+
+def test_train_verdict_cli_rejects_pp_with_tp(workspace):
+    ws, cfg = workspace
+    with pytest.raises(SystemExit):
+        cli_main(
+            ["--config", cfg, "train-verdict", "--pp", "2", "--tp", "2"]
+        )

@@ -74,3 +74,60 @@ def test_train_verdict_3axis_moe_mesh_matches_single_device():
     got = _history(cfg, make_ep_tp_mesh(expert=2, model=2, data=2))
     for r, g in zip(ref, got):
         np.testing.assert_allclose(g["train_loss"], r["train_loss"], rtol=2e-5)
+
+
+def test_train_verdict_pp_dp_mesh_matches_single_device():
+    """"stage" mesh: the SAME production loop runs the GPipe schedule —
+    PP(2) x DP(2), histories (loss AND val F1 via the layout-converted
+    params) == single-device; the returned params are standard-layout."""
+    from ircl_tpu.parallel.pp import make_pp_mesh
+
+    ref = _history(CFG, None)
+    got = _history(CFG, make_pp_mesh(stages=2, data=2))
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g["train_loss"], r["train_loss"], rtol=2e-5)
+        assert g["val_macro_f1"] == r["val_macro_f1"]
+
+
+def test_train_verdict_pp_moe_mesh_matches_single_device():
+    """PP over MoE blocks through the production loop (stats-accumulated
+    aux), and the return layout matches init_verdict_params' tree."""
+    from ircl_tpu.parallel.pp import make_pp_mesh
+
+    cfg = dataclasses.replace(
+        CFG,
+        encoder=dataclasses.replace(
+            ENC, moe=MoEConfig(num_experts=4, top_k=2, capacity_factor=2.0)
+        ),
+    )
+    ids, mask, types, labels = _data()
+    p_ref, ref = train_verdict(
+        cfg, ids, mask, types, labels,
+        epochs=2, batch_size=8, val_fraction=0.1, seed=7, mesh=None,
+    )
+    p_pp, got = train_verdict(
+        cfg, ids, mask, types, labels,
+        epochs=2, batch_size=8, val_fraction=0.1, seed=7,
+        mesh=make_pp_mesh(stages=2, data=1),
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g["train_loss"], r["train_loss"], rtol=2e-5)
+    assert jax.tree.structure(p_pp) == jax.tree.structure(p_ref)
+    for a, b in zip(jax.tree.leaves(p_pp), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+        )
+
+
+def test_train_verdict_rejects_pp_tp_mesh():
+    import pytest
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    bad = Mesh(devs, ("stage", "model"))
+    ids, mask, types, labels = _data(n=16)
+    with pytest.raises(ValueError):
+        train_verdict(
+            CFG, ids, mask, types, labels,
+            epochs=1, batch_size=8, val_fraction=0.0, mesh=bad,
+        )
