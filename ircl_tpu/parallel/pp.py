@@ -275,6 +275,15 @@ def pp_verdict_params(params: Dict[str, Any], n_stages: int):
     }
 
 
+def restack_pp_params(pp_params: Dict[str, Any], n_stages: int):
+    """Re-partition a PP layout onto a different stage count (elastic
+    resume: a PP(4) checkpoint restored by a PP(2) job). Pure jnp
+    reshapes — under GSPMD this is device-side resharding, no host
+    gather; re-shard the result with ``pp_verdict_specs`` on the new
+    mesh."""
+    return pp_verdict_params(verdict_params_from_pp(pp_params), n_stages)
+
+
 def verdict_params_from_pp(pp_params: Dict[str, Any]) -> Dict[str, Any]:
     """Inverse of ``pp_verdict_params``: PP layout -> the standard
     ``init_verdict_params`` tree (for validation/prediction, checkpoint

@@ -104,3 +104,63 @@ def test_sharded_save_restore_resumes_training(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
         )
+
+
+def test_pp_sharded_save_restore_resumes_training(tmp_path):
+    """PP(2) x DP(2): stage-stacked params save sharded (no host gather)
+    and resume to the uninterrupted result; restack_pp_params re-partitions
+    the checkpoint's stacking onto a different stage count for elastic
+    resume."""
+    from ircl_tpu.parallel.pp import (
+        make_pp_mesh,
+        make_pp_verdict_train_step,
+        pp_verdict_params,
+        pp_verdict_specs,
+        restack_pp_params,
+        verdict_params_from_pp,
+    )
+
+    S, M = 2, 4  # CFG's encoder has 2 layers -> 2 stages max
+    mesh = make_pp_mesh(S, data=2)
+    step, tx = make_pp_verdict_train_step(CFG, mesh, n_micro=M)
+    params0 = init_verdict_params(jax.random.PRNGKey(4), CFG)
+    pp0 = pp_verdict_params(params0, S)
+    specs = pp_verdict_specs(pp0)
+    batches = [_batch(s + 20) for s in range(3)]
+
+    p = shard_tree(jax.tree.map(jnp.array, pp0), specs, mesh)
+    o = init_sharded_opt_state(tx, p, mesh, specs)
+    p_full, o_full, loss_full = _run(step, p, o, mesh, batches)
+
+    p = shard_tree(jax.tree.map(jnp.array, pp0), specs, mesh)
+    o = init_sharded_opt_state(tx, p, mesh, specs)
+    p2, o2, _ = _run(step, p, o, mesh, batches[:2])
+    path = save_sharded(str(tmp_path / "ppckpt"), {"params": p2, "opt": o2})
+
+    restored = restore_sharded(path, {"params": p2, "opt": o2})
+    w = restored["params"]["stages"]["ff1"]["w"]  # [2, 1, 16, 32] P("stage")
+    assert {s.data.shape for s in w.addressable_shards} == {(1, 1, 16, 32)}
+    # elastic stage count (checked BEFORE the resume step donates the
+    # restored tree): re-partition the S=2 checkpoint onto a single stage
+    # and verify layer order/values survive the [2,1,...] -> [1,2,...]
+    # restack (the reshape-order bug an elastic resume would hit)
+    from ircl_tpu.parallel.pp import unstack_layer_params
+
+    restacked = restack_pp_params(restored["params"], 1)
+    assert restacked["stages"]["ff1"]["w"].shape == (1, 2, 16, 32)
+    for la, lb in zip(
+        unstack_layer_params(restacked["stages"]),
+        unstack_layer_params(restored["params"]["stages"]),
+    ):
+        for a, b in zip(jax.tree.leaves(la), jax.tree.leaves(lb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert verdict_params_from_pp(restacked)["body"]["layers"]  # layout ok
+
+    p3, _, loss3 = _run(
+        step, restored["params"], restored["opt"], mesh, batches[2:], start=2
+    )
+    np.testing.assert_allclose(loss3, loss_full, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p3), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
