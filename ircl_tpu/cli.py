@@ -369,40 +369,13 @@ def cmd_eval_verdict(args):
     claims over gold evidence or over retrieval output (--retrieved jsonl
     from ``retrieve --out``) and print the classification report."""
     cfg = _load(args)
-    import jax
-    import numpy as np
-    import orbax.checkpoint as ocp
-
     from ircl_tpu.corpus import fever
-    from ircl_tpu.models.transformer import TransformerConfig
-    from ircl_tpu.models.wordpiece import WordPieceTokenizer
     from ircl_tpu.verdict.data import build_examples, encode_examples
     from ircl_tpu.verdict.evaluate import classification_report, format_report
-    from ircl_tpu.verdict.model import VerdictConfig, init_verdict_params
+    from ircl_tpu.verdict.infer import load_verdict_checkpoint
     from ircl_tpu.verdict.train import predict_in_batches
 
-    with open(os.path.join(cfg.ckptdir, "verdict_config.json")) as f:
-        meta = json.load(f)
-    enc_kwargs = {k: v for k, v in meta["encoder"].items() if k != "dtype"}
-    if enc_kwargs.get("moe"):  # dataclasses.asdict flattened MoEConfig
-        from ircl_tpu.models.moe import MoEConfig
-
-        enc_kwargs["moe"] = MoEConfig(**enc_kwargs["moe"])
-    vcfg = VerdictConfig(
-        encoder=TransformerConfig(**enc_kwargs),
-        num_labels=meta["num_labels"],
-        max_length=meta["max_length"],
-    )
-    tok = WordPieceTokenizer.from_vocab_file(
-        os.path.join(cfg.ckptdir, "verdict_vocab.txt")
-    )
-
-    template = init_verdict_params(jax.random.PRNGKey(0), vcfg)
-    ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(
-        os.path.abspath(os.path.join(cfg.ckptdir, "verdict")),
-        jax.tree.map(np.asarray, template),
-    )
+    vcfg, params, tok = load_verdict_checkpoint(cfg.ckptdir)
 
     wiki = fever.load_wiki_json(cfg.data.wiki_json)
     doc_sents = {d: fever.parse_lines_tab(r["lines"]) for d, r in wiki.items()}
@@ -495,6 +468,18 @@ def cmd_serve(args):
                 file=sys.stderr,
             )
 
+    # Optional stage 3 (claim verification, /verdict): reload the trained
+    # verdict classifier (`cli train-verdict` artifacts) for end-to-end
+    # retrieve->classify serving — the reference's offline
+    # `src/QA/evaluate.py` product as an endpoint.
+    verdict_classifier = None
+    if args.verdict_ckpt:
+        from ircl_tpu.verdict.infer import VerdictClassifier
+
+        verdict_classifier = VerdictClassifier.from_checkpoint(
+            args.verdict_ckpt, batch_size=args.verdict_batch
+        )
+
     service = make_service(
         index_path,
         batch_size=args.batch_size,
@@ -506,6 +491,7 @@ def cmd_serve(args):
         doc_sentences=doc_sentences,
         sentence_scorer=scorer,
         default_k_sents=args.k_sents,
+        verdict_classifier=verdict_classifier,
     )
     print(
         f"loaded {service.num_docs} docs from {index_path}; warming up "
@@ -632,6 +618,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="npy cache for the corpus sentence-embedding table",
     )
     s.add_argument("--k-sents", type=int, default=5)
+    s.add_argument(
+        "--verdict-ckpt", dest="verdict_ckpt", type=str, default=None,
+        help="train-verdict output dir (verdict_config.json + vocab + "
+        "params): enables the /verdict claim-verification endpoint",
+    )
+    s.add_argument(
+        "--verdict-batch", dest="verdict_batch", type=int, default=32,
+        help="pinned device batch for the verdict classifier",
+    )
     s.add_argument(
         "--batch-wait-ms", type=float, default=None,
         help="coalesce concurrent requests into shared device batches, "

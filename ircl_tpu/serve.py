@@ -54,24 +54,31 @@ from ircl_tpu.index.ranker import TfidfRanker
 MAX_BODY_BYTES = 8 << 20
 
 
-def parse_request(req) -> Tuple[List[str], Optional[int], Optional[int]]:
-    """Validate a decoded request object into (queries, k, k_sents).
+def parse_request(
+    req, key: str = "queries"
+) -> Tuple[List[str], Optional[int], Optional[int]]:
+    """Validate a decoded request object into (texts, k, k_sents).
 
-    The ONE parser both transports use. Raises ValueError (never TypeError)
-    on any malformed shape, so the transports' error paths stay uniform.
+    The ONE parser both transports use. ``key="queries"`` parses search
+    requests; ``key="claims"`` the /verdict shape (same contracts).
+    Raises ValueError (never TypeError) on any malformed shape, so the
+    transports' error paths stay uniform.
     """
+    singular = {"queries": "query", "claims": "claim"}[key]
     if not isinstance(req, dict):
         raise ValueError(f"request must be a JSON object, got {type(req).__name__}")
-    if "queries" in req:
-        queries = req["queries"]
-    elif "query" in req:
-        queries = [req["query"]]
+    if key in req:
+        queries = req[key]
+    elif singular in req:
+        queries = [req[singular]]
     else:
-        raise ValueError("request needs 'queries' (list of str) or 'query' (str)")
+        raise ValueError(
+            f"request needs '{key}' (list of str) or '{singular}' (str)"
+        )
     if not isinstance(queries, list) or not all(
         isinstance(q, str) for q in queries
     ):
-        raise ValueError("queries must be a list of strings")
+        raise ValueError(f"{key} must be a list of strings")
 
     def _int_field(name):
         v = req.get(name)
@@ -159,6 +166,7 @@ class RetrievalService:
         doc_sentences: Optional[Dict[str, List[str]]] = None,
         sentence_scorer=None,
         default_k_sents: int = 5,
+        verdict_classifier=None,  # verdict.infer.VerdictClassifier
     ):
         if batch_size <= 0:
             raise ValueError(f"batch_size must be positive, got {batch_size}")
@@ -178,6 +186,7 @@ class RetrievalService:
         self.doc_sentences = doc_sentences
         self.sentence_scorer = sentence_scorer
         self.default_k_sents = default_k_sents
+        self.verdict_classifier = verdict_classifier
         self.metrics = ServiceMetrics()
         self._lock = threading.Lock()
 
@@ -189,12 +198,18 @@ class RetrievalService:
     def has_sentence_stage(self) -> bool:
         return self.sentence_scorer is not None and self.doc_sentences is not None
 
+    @property
+    def has_verdict_stage(self) -> bool:
+        return self.verdict_classifier is not None
+
     def warmup(self) -> None:
-        """Pay the one compile + lazy index upload (and, when stage 2 is
-        configured, the encoder compile) before serving traffic."""
+        """Pay the one compile + lazy index upload (and, when later stages
+        are configured, their encoder compiles) before serving traffic."""
         self.search(["warmup"])
         if self.has_sentence_stage:
             self.sentence_scorer(["warmup"], [["warmup sentence"]])
+        if self.has_verdict_stage:
+            self.verdict_classifier.warmup()
 
     def _validate(self, queries, k: Optional[int]) -> int:
         if isinstance(queries, str) or not all(
@@ -281,6 +296,53 @@ class RetrievalService:
                 ]
             )
         return out
+
+    def verify_claims(
+        self,
+        claims: Sequence[str],
+        k: Optional[int] = None,
+        k_sents: Optional[int] = None,
+    ) -> List[dict]:
+        """End-to-end claim verification: retrieve evidence, classify.
+
+        The reference pipeline's final product (``src/QA/evaluate.py``
+        offline; here as a serving surface). Evidence per claim is the
+        two-stage sentence results when stage 2 is configured (grouped by
+        doc in score order: doc-id words + its selected sentences — the
+        same assembly the retrieved-evidence training/eval path uses,
+        ``verdict/data.py::build_examples``), else the top-k doc-id words.
+        Returns one ``{"label", "label_id", "confidence", "evidence"}``
+        per claim."""
+        if not self.has_verdict_stage:
+            raise ValueError(
+                "claim verification unavailable: service was built without "
+                "a verdict_classifier (cli serve --verdict-ckpt)"
+            )
+        # _validate also covers the claims list (same str-sequence contract)
+        self._validate(claims, k)
+        if self.has_sentence_stage:
+            per_claim = self.search_sentences(claims, k=k, k_sents=k_sents)
+        else:
+            per_claim = self.search(claims, k=k)
+        evidence_texts = []
+        for results in per_claim:
+            by_doc: Dict[str, List[str]] = {}
+            for r in results:  # score-desc; dict keeps first-seen doc order
+                by_doc.setdefault(r["doc_id"], []).append(
+                    r.get("sentence", "")
+                )
+            parts: List[str] = []
+            for doc_id, sents in by_doc.items():
+                parts.extend(doc_id.split("_"))
+                parts.extend(s for s in sents if s)
+            evidence_texts.append(" ".join(parts))
+        verdicts = self.verdict_classifier.classify(
+            list(claims), evidence_texts
+        )
+        return [
+            dict(v, evidence=results)
+            for v, results in zip(verdicts, per_claim)
+        ]
 
 
 class _Pending:
@@ -428,6 +490,7 @@ def make_service(
     doc_sentences: Optional[Dict[str, List[str]]] = None,
     sentence_scorer=None,
     default_k_sents: int = 5,
+    verdict_classifier=None,
 ) -> RetrievalService:
     """Load a saved index (tf-idf npz from `cli build-index`) into a
     serving-configured ranker: shapes pinned (`fixed_max_terms`,
@@ -435,7 +498,9 @@ def make_service(
     state is one executable, df-split optionally preloaded
     (`index/split.py::save_split`) to skip the cold-start rebuild.
     Pass `doc_sentences` + `sentence_scorer` to enable the two-stage
-    `search_sentences` surface (see `cli serve --dense-ckpt`)."""
+    `search_sentences` surface (see `cli serve --dense-ckpt`), and a
+    `verdict_classifier` (`verdict.infer.VerdictClassifier`) to enable
+    `verify_claims` / the /verdict endpoint (`cli serve --verdict-ckpt`)."""
     index = CountIndex.load(index_path)
     split = None
     if split_path:
@@ -458,27 +523,40 @@ def make_service(
         doc_sentences=doc_sentences,
         sentence_scorer=sentence_scorer,
         default_k_sents=default_k_sents,
+        verdict_classifier=verdict_classifier,
     )
 
 
-def _handle(service: RetrievalService, req, batcher=None) -> dict:
+def _handle(service: RetrievalService, req, batcher=None, expect=None) -> dict:
     """Shared request execution for both transports (already-decoded JSON
     in, reply payload out; raises ValueError on any malformed request).
     Doc-search requests ride the micro-batcher when one is configured;
-    sentence requests (stage 2 is per-request candidate gathering) do not."""
+    sentence/verdict requests (later stages are per-request work) do not.
+    ``expect="claims"`` (the HTTP /verdict path) forces the verdict shape;
+    otherwise a "claims"/"claim" key selects it (the stdin transport)."""
     t0 = time.monotonic()
     try:
-        queries, k, k_sents = parse_request(req)
-        if req.get("sentences") or k_sents is not None:
+        if expect == "claims" or (
+            expect is None
+            and isinstance(req, dict)
+            and ("claims" in req or "claim" in req)
+        ):
+            queries, k, k_sents = parse_request(req, key="claims")
             payload = {
-                "results": service.search_sentences(
-                    queries, k=k, k_sents=k_sents
-                )
+                "results": service.verify_claims(queries, k=k, k_sents=k_sents)
             }
-        elif batcher is not None:
-            payload = {"results": batcher.search(queries, k=k)}
         else:
-            payload = {"results": service.search(queries, k=k)}
+            queries, k, k_sents = parse_request(req)
+            if req.get("sentences") or k_sents is not None:
+                payload = {
+                    "results": service.search_sentences(
+                        queries, k=k, k_sents=k_sents
+                    )
+                }
+            elif batcher is not None:
+                payload = {"results": batcher.search(queries, k=k)}
+            else:
+                payload = {"results": service.search(queries, k=k)}
     except BaseException:
         service.metrics.record_error()
         raise
@@ -507,7 +585,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):  # noqa: N802
-        if self.path != "/search":
+        if self.path not in ("/search", "/verdict"):
             self._reply(404, {"error": f"unknown path {self.path}"})
             return
         try:
@@ -531,7 +609,10 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             req = json.loads(self.rfile.read(n) or b"{}")
-            payload = _handle(self.service, req, batcher=self.batcher)
+            payload = _handle(
+                self.service, req, batcher=self.batcher,
+                expect="claims" if self.path == "/verdict" else None,
+            )
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             self._reply(400, {"error": str(e)})
             return
@@ -569,7 +650,8 @@ def serve_http(
 def serve_stdin(service: RetrievalService, infile, outfile) -> int:
     """JSONL loop: one request object per line (`{"queries": [...], "k": n}`
     or `{"query": "..."}`; add `"sentences": true` / `"k_sents": n` for the
-    two-stage reply), one `{"results": ...}` reply line each; blank lines
+    two-stage reply; `{"claims": [...]}` / `{"claim": "..."}` for claim
+    verification), one `{"results": ...}` reply line each; blank lines
     skipped, malformed lines get an `{"error": ...}` line and the loop
     continues. Returns the number of requests served."""
     served = 0

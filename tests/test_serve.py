@@ -471,3 +471,132 @@ def test_two_stage_precomputed_matches_on_the_fly(ranker):
         np.testing.assert_allclose(
             [r["score"] for r in a], [r["score"] for r in b], rtol=1e-6
         )
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: claim verification (/verdict)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def verdict_service(ranker, tmp_path_factory):
+    """Retrieval + sentence + verdict service, with the classifier loaded
+    through the REAL checkpoint path (`VerdictClassifier.from_checkpoint`
+    over the artifacts `cli train-verdict` persists)."""
+    import dataclasses
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ircl_tpu.models.transformer import TransformerConfig
+    from ircl_tpu.models.wordpiece import WordPieceTokenizer
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
+    from ircl_tpu.verdict.infer import VerdictClassifier
+    from ircl_tpu.verdict.model import VerdictConfig, init_verdict_params
+
+    ckptdir = str(tmp_path_factory.mktemp("verdict_ckpt"))
+    tok = WordPieceTokenizer.train(list(DOCS.values()), vocab_size=256)
+    vcfg = VerdictConfig(
+        encoder=TransformerConfig(
+            vocab_size=tok.vocab_size, hidden=16, layers=1, heads=2,
+            intermediate=32, max_positions=48,
+        ),
+        max_length=48,
+    )
+    params = init_verdict_params(jax.random.PRNGKey(0), vcfg)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.join(ckptdir, "verdict"),
+        jax.tree.map(np.asarray, params),
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    tok.save_vocab(os.path.join(ckptdir, "verdict_vocab.txt"))
+    with open(os.path.join(ckptdir, "verdict_config.json"), "w") as f:
+        json.dump(
+            {
+                "encoder": dataclasses.asdict(vcfg.encoder) | {"dtype": None},
+                "num_labels": vcfg.num_labels,
+                "max_length": vcfg.max_length,
+            },
+            f,
+        )
+    clf = VerdictClassifier.from_checkpoint(ckptdir, batch_size=4)
+    return RetrievalService(
+        ranker,
+        batch_size=4,
+        default_k=3,
+        doc_sentences=_sentences(),
+        sentence_scorer=host_sparse_scorer(),
+        default_k_sents=2,
+        verdict_classifier=clf,
+    )
+
+
+def test_verify_claims_end_to_end(verdict_service):
+    verdict_service.warmup()  # covers all three stage compiles
+    out = verdict_service.verify_claims(QUERIES, k=3, k_sents=2)
+    assert len(out) == len(QUERIES)
+    for r in out:
+        assert r["label"] in ("SUPPORTS", "REFUTES")
+        assert r["label_id"] in (0, 1)
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["evidence"] and all("sentence" in e for e in r["evidence"])
+    # evidence IS the two-stage sentence result for the same request
+    sents = verdict_service.search_sentences(QUERIES, k=3, k_sents=2)
+    assert [r["evidence"] for r in out] == sents
+    # pinned-shape determinism: same claims -> same verdicts
+    assert verdict_service.verify_claims(QUERIES, k=3, k_sents=2) == out
+
+
+def test_verdict_batch_padding_is_invisible(verdict_service):
+    """1 claim vs the same claim inside a full batch: identical verdict
+    (classifier pad rows never leak into real outputs)."""
+    one = verdict_service.verify_claims(QUERIES[:1])
+    many = verdict_service.verify_claims(QUERIES)
+    assert one[0] == many[0]
+
+
+def test_verdict_over_http_and_stdin(verdict_service):
+    server = serve_http(verdict_service, host="127.0.0.1", port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            f"{base}/verdict",
+            data=json.dumps({"claims": QUERIES[:1]}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            results = json.loads(r.read())["results"]
+        assert results[0]["label"] in ("SUPPORTS", "REFUTES")
+        assert results[0]["evidence"]
+
+        # /verdict without claims is a 400, not a queries-shaped reply
+        req = urllib.request.Request(
+            f"{base}/verdict", data=json.dumps({"queries": ["x"]}).encode()
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+    out = io.StringIO()
+    serve_stdin(
+        verdict_service,
+        io.StringIO(json.dumps({"claim": QUERIES[0]}) + "\n"),
+        out,
+    )
+    reply = json.loads(out.getvalue())
+    assert reply["results"][0]["label"] in ("SUPPORTS", "REFUTES")
+
+
+def test_verdict_unconfigured_is_a_request_error(ranker):
+    svc = RetrievalService(ranker, batch_size=2, default_k=2)
+    out = io.StringIO()
+    serve_stdin(
+        svc, io.StringIO(json.dumps({"claim": "x"}) + "\n"), out
+    )
+    assert "error" in json.loads(out.getvalue())
