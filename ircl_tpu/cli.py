@@ -492,6 +492,7 @@ def cmd_serve(args):
         sentence_scorer=scorer,
         default_k_sents=args.k_sents,
         verdict_classifier=verdict_classifier,
+        chunk_docs=args.chunk_docs,
     )
     print(
         f"loaded {service.num_docs} docs from {index_path}; warming up "
@@ -618,6 +619,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="npy cache for the corpus sentence-embedding table",
     )
     s.add_argument("--k-sents", type=int, default=5)
+    s.add_argument(
+        "--chunk-docs", dest="chunk_docs", type=int, default=None,
+        help="serve with the chunked engine (full-wiki scale); --split "
+        "then names the per-chunk split-artifact DIRECTORY",
+    )
     s.add_argument(
         "--verdict-ckpt", dest="verdict_ckpt", type=str, default=None,
         help="train-verdict output dir (verdict_config.json + vocab + "

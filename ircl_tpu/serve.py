@@ -142,8 +142,18 @@ class ServiceMetrics:
         return out
 
 
+def _ranker_num_docs(ranker) -> int:
+    """Corpus size across ranker flavors: `ChunkedHybridRanker` exposes
+    `num_docs` directly; `TfidfRanker` keeps it on its device index."""
+    if hasattr(ranker, "num_docs"):
+        return int(ranker.num_docs)
+    return len(ranker.dev.doc_ids)
+
+
 class RetrievalService:
-    """Pinned-shape search facade over a `TfidfRanker`.
+    """Pinned-shape search facade over a `TfidfRanker` (or any ranker with
+    the same `closest_docs_batch` contract, e.g. `ChunkedHybridRanker` for
+    corpora past one staged pass — `make_service(chunk_docs=...)`).
 
     `search` accepts any number of queries and always dispatches device
     batches of exactly `batch_size` (padding the tail with empty queries,
@@ -181,7 +191,7 @@ class RetrievalService:
         # is the top-k result.
         self.k_max = min(
             max(default_k, k_max if k_max is not None else 2 * default_k),
-            max(1, len(ranker.dev.doc_ids)),
+            max(1, _ranker_num_docs(ranker)),
         )
         self.doc_sentences = doc_sentences
         self.sentence_scorer = sentence_scorer
@@ -192,7 +202,7 @@ class RetrievalService:
 
     @property
     def num_docs(self) -> int:
-        return len(self.ranker.dev.doc_ids)
+        return _ranker_num_docs(self.ranker)
 
     @property
     def has_sentence_stage(self) -> bool:
@@ -491,6 +501,7 @@ def make_service(
     sentence_scorer=None,
     default_k_sents: int = 5,
     verdict_classifier=None,
+    chunk_docs: Optional[int] = None,
 ) -> RetrievalService:
     """Load a saved index (tf-idf npz from `cli build-index`) into a
     serving-configured ranker: shapes pinned (`fixed_max_terms`,
@@ -500,21 +511,38 @@ def make_service(
     Pass `doc_sentences` + `sentence_scorer` to enable the two-stage
     `search_sentences` surface (see `cli serve --dense-ckpt`), and a
     `verdict_classifier` (`verdict.infer.VerdictClassifier`) to enable
-    `verify_claims` / the /verdict endpoint (`cli serve --verdict-ckpt`)."""
+    `verify_claims` / the /verdict endpoint (`cli serve --verdict-ckpt`).
+    `chunk_docs` switches to the chunked engine for corpora past one
+    staged pass (full-wiki scale, `cli serve --chunk-docs 1000000`)."""
     index = CountIndex.load(index_path)
-    split = None
-    if split_path:
-        from ircl_tpu.index.split import load_split
+    if chunk_docs:
+        # full-wiki-scale serving (multi-M docs): the chunked engine bounds
+        # per-chunk transient HBM; `split_path` is then the DIRECTORY of
+        # per-chunk split artifacts (built and persisted on first boot)
+        from ircl_tpu.index.chunked import ChunkedHybridRanker
 
-        split = load_split(split_path)
-    ranker = TfidfRanker(
-        index,
-        mode=mode,
-        fixed_max_terms=max_terms,
-        fixed_union_cap=union_cap,
-        union_round=union_round,
-        split=split,
-    )
+        ranker = ChunkedHybridRanker(
+            index,
+            chunk_docs=chunk_docs,
+            split_cache_dir=split_path or None,
+            fixed_max_terms=max_terms,
+            fixed_union_cap=union_cap,
+            union_round=union_round,
+        )
+    else:
+        split = None
+        if split_path:
+            from ircl_tpu.index.split import load_split
+
+            split = load_split(split_path)
+        ranker = TfidfRanker(
+            index,
+            mode=mode,
+            fixed_max_terms=max_terms,
+            fixed_union_cap=union_cap,
+            union_round=union_round,
+            split=split,
+        )
     return RetrievalService(
         ranker,
         batch_size=batch_size,

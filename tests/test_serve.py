@@ -600,3 +600,28 @@ def test_verdict_unconfigured_is_a_request_error(ranker):
         svc, io.StringIO(json.dumps({"claim": "x"}) + "\n"), out
     )
     assert "error" in json.loads(out.getvalue())
+
+
+def test_service_over_chunked_ranker(index, ranker, tmp_path):
+    """make_service(chunk_docs=...) serves the chunked engine with the
+    identical results contract: scores/doc order match the unchunked
+    ranker, padding/chunking still invisible, /metrics + num_docs work."""
+    path = str(tmp_path / "idx.npz")
+    index.save(path)
+    svc = make_service(
+        path, batch_size=4, default_k=3, chunk_docs=3,
+        split_path=str(tmp_path / "splits"),
+    )
+    assert svc.num_docs == len(DOCS)
+    svc.warmup()
+    got = svc.search(QUERIES, k=3)
+    direct = ranker.closest_docs_batch(list(QUERIES), k=3)
+    for g, (ids, scores) in zip(got, direct):
+        assert [r["doc_id"] for r in g] == list(ids)
+        np.testing.assert_allclose(
+            [r["score"] for r in g], scores, rtol=1e-5, atol=1e-6
+        )
+    # split artifacts persisted per chunk for the next boot
+    import os
+
+    assert os.listdir(tmp_path / "splits")
