@@ -187,6 +187,8 @@ def moe_ffn(
     ep_constrain=None,
     mask: Optional[jnp.ndarray] = None,
     return_stats: bool = False,
+    model_axis: Optional[str] = None,
+    expert_axis: Optional[str] = None,
 ):
     """MoE FFN sublayer: [B, S, h] -> ([B, S, h], aux loss scalar).
 
@@ -197,7 +199,24 @@ def moe_ffn(
     (1 = real token) keeps pad positions out of routing entirely.
     ``return_stats=True`` returns the additive routing sums instead of the
     aux scalar (``moe_aux_from_stats``) for microbatched accumulation.
+
+    ``expert_axis`` / ``model_axis``: explicit-collective EP/TP for
+    shard_map callers (``parallel/pp.py`` PP x EP) where GSPMD cannot
+    insert the collectives. The expert weights arrive sharded
+    ``[E/ep, ...]`` on their leading axis (and Megatron-sharded on
+    ff1-cols/ff2-rows under ``model_axis``); activations are replicated
+    over those axes. Routing runs replicated (the router is tiny), each
+    shard dispatches to and runs only its LOCAL experts (a static slice of
+    the dispatch/combine tensors — per-expert slots are disjoint, so
+    local combines are partial sums), and one ``lax.psum`` over the
+    expert(+model) axes restores the full combine. Communication per
+    layer: one [B, S, h] all-reduce — the TP-style formulation of expert
+    parallelism (replicated activations / sharded experts), vs the
+    all-to-all formulation ``ep_constrain`` gives GSPMD. Mutually
+    exclusive with ``ep_constrain``.
     """
+    if (model_axis or expert_axis) and ep_constrain is not None:
+        raise ValueError("explicit axes and ep_constrain are exclusive")
     Bo, So, h = x.shape
     if ecfg.group_size is not None and ecfg.group_size < So:
         g = ecfg.group_size
@@ -221,6 +240,14 @@ def moe_ffn(
         logits, ecfg, C, mask, return_stats=return_stats
     )
 
+    # Explicit EP: keep only this shard's experts. Slots are per-expert, so
+    # the sliced combine later yields a PARTIAL sum completed by the psum.
+    if expert_axis is not None:
+        e_loc = p["ff1"]["w"].shape[0]
+        e0 = jax.lax.axis_index(expert_axis) * e_loc
+        dispatch = jax.lax.dynamic_slice_in_dim(dispatch, e0, e_loc, axis=2)
+        combine = jax.lax.dynamic_slice_in_dim(combine, e0, e_loc, axis=2)
+
     # [E, B, C, h] expert slabs: leading axis shards over "expert"
     ein = jnp.einsum(
         "bsec,bsh->ebch", dispatch.astype(dtype), x,
@@ -236,17 +263,26 @@ def moe_ffn(
         + p["ff1"]["b"][:, None, None, :],
         approximate=False,
     )
-    eout = (
-        jnp.einsum(
-            "ebci,eih->ebch", h1, p["ff2"]["w"].astype(dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype)
-        + p["ff2"]["b"][:, None, None, :]
-    )
+    eout = jnp.einsum(
+        "ebci,eih->ebch", h1, p["ff2"]["w"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    ff2_b = p["ff2"]["b"][:, None, None, :]
+    if model_axis is not None:
+        # ff2 rows are Megatron-sharded: eout is a partial sum; add the
+        # (unsharded) bias on exactly one model shard so the psum below
+        # restores full-precision eout + bias.
+        first = (jax.lax.axis_index(model_axis) == 0).astype(dtype)
+        eout = eout + ff2_b * first
+    else:
+        eout = eout + ff2_b
     if ep_constrain is not None:
         eout = ep_constrain(eout)
     y = jnp.einsum(
         "bsec,ebch->bsh", combine.astype(dtype), eout,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
+    psum_axes = tuple(a for a in (expert_axis, model_axis) if a is not None)
+    if psum_axes:
+        y = jax.lax.psum(y, psum_axes)
     return y.reshape(Bo, So, h), aux

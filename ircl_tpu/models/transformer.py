@@ -154,16 +154,27 @@ def attention_sublayer(
     lp: Dict,  # one entry of params["layers"]
     cfg: TransformerConfig,
     attn_ctx,  # attention_mask_inputs(cfg, mask)
+    model_axis: Optional[str] = None,  # explicit Megatron TP under shard_map
 ) -> jnp.ndarray:
-    """MHA -> Add&LN (the first half of a post-LN block)."""
+    """MHA -> Add&LN (the first half of a post-LN block).
+
+    ``model_axis``: when called inside a ``shard_map`` whose mesh carries a
+    Megatron "model" axis (``parallel/pp.py`` PP x TP), the q/k/v/o weights
+    arrive column/row-sharded; the head count is inferred from the local
+    q-projection width and the o-projection partial sums are all-reduced
+    with an explicit ``lax.psum`` (GSPMD cannot insert collectives inside
+    shard_map). None = the normal GSPMD/single-device path, numerically
+    identical code."""
     B, L, _ = x.shape
     dtype = cfg.dtype
-    nh = cfg.heads
-    hd = cfg.hidden // nh
+    hd = cfg.hidden // cfg.heads
+    nh = lp["q"]["w"].shape[-1] // hd  # local heads (== cfg.heads unsharded)
     q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     if cfg.attention == "flash":
+        if model_axis is not None:
+            raise ValueError("explicit-TP attention supports the XLA path")
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention,
         )
@@ -186,8 +197,14 @@ def attention_sublayer(
             "bhqk,bhkd->bhqd", probs, v,
             preferred_element_type=jnp.float32,
         ).astype(dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, cfg.hidden)
-    return _ln(x + _dense(ctx, lp["o"]), lp["attn_ln"], cfg.layernorm_eps)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, nh * hd)
+    proj = jnp.einsum(
+        "...i,io->...o", ctx, lp["o"]["w"].astype(dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    if model_axis is not None:  # row-sharded o: all-reduce the partial sums
+        proj = jax.lax.psum(proj, model_axis)
+    return _ln(x + (proj + lp["o"]["b"]), lp["attn_ln"], cfg.layernorm_eps)
 
 
 def transformer_block(
@@ -198,6 +215,8 @@ def transformer_block(
     ep_constrain=None,  # expert-parallel all-to-all hook (parallel/ep.py)
     moe_mask=None,  # [B, L] 1 = real token; keeps pads out of MoE routing
     moe_stats: bool = False,  # return additive routing sums instead of aux
+    model_axis: Optional[str] = None,  # explicit TP axis (shard_map callers)
+    expert_axis: Optional[str] = None,  # explicit EP axis (shard_map callers)
 ):
     """One post-LN encoder block (MHA -> Add&LN -> FFN -> Add&LN).
 
@@ -212,15 +231,29 @@ def transformer_block(
     swaps the aux scalar for the raw routing-sum dict
     (``models.moe.moe_aux_from_stats``) so microbatched schedulers
     (parallel/pp.py) can accumulate sums across microbatches and recover
-    the exact global aux."""
-    x = attention_sublayer(x, lp, cfg, attn_ctx)
+    the exact global aux.
+
+    ``model_axis`` / ``expert_axis``: explicit-collective TP/EP for
+    shard_map callers (``parallel/pp.py`` PP x TP / PP x EP) — weights
+    arrive Megatron-/expert-sharded and the all-reduces GSPMD would insert
+    are issued as ``lax.psum`` over the named mesh axes. None (default) =
+    the GSPMD/single-device path, numerically identical."""
+    x = attention_sublayer(x, lp, cfg, attn_ctx, model_axis=model_axis)
     if cfg.moe is not None:
         y, aux = moe_ffn(
             x, lp["moe"], cfg.moe, ep_constrain, moe_mask,
             return_stats=moe_stats,
+            model_axis=model_axis, expert_axis=expert_axis,
         )
         return _ln(x + y, lp["ff_ln"], cfg.layernorm_eps), aux
-    ff = _dense(jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False), lp["ff2"])
+    h1 = jax.nn.gelu(_dense(x, lp["ff1"]), approximate=False)
+    ff = jnp.einsum(
+        "...i,io->...o", h1, lp["ff2"]["w"].astype(h1.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(h1.dtype)
+    if model_axis is not None:  # row-sharded ff2: all-reduce partial sums
+        ff = jax.lax.psum(ff, model_axis)
+    ff = ff + lp["ff2"]["b"]
     return _ln(x + ff, lp["ff_ln"], cfg.layernorm_eps)
 
 

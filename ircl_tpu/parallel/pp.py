@@ -58,18 +58,41 @@ from ircl_tpu.models.transformer import (
 )
 
 
-def make_pp_mesh(stages: int = None, data: int = 1, devices=None) -> Mesh:
-    """("data", "stage") mesh; defaults to data=1, stages=all devices.
+def make_pp_mesh(
+    stages: int = None,
+    data: int = 1,
+    devices=None,
+    model: int = 1,
+    expert: int = 1,
+) -> Mesh:
+    """("data", "stage"[, "expert"][, "model"]) mesh; defaults to data=1,
+    stages=all devices.
 
     With ``data > 1`` the same GPipe schedule runs as ``data`` replicas
     (each over its own ``stages`` chips), microbatch elements sharded over
     ``data`` — GSPMD adds the gradient psum across replicas, composing PP
-    with DP in one jitted step (``tests/test_pp.py::test_pp_dp_...``)."""
+    with DP in one jitted step (``tests/test_pp.py::test_pp_dp_...``).
+
+    With ``model > 1`` each pipeline stage is itself Megatron-TP over a
+    "model" axis: the stage weights shard column/row-wise and the stage
+    body issues the two per-block partial-sum all-reduces as explicit
+    ``lax.psum("model")`` (GSPMD cannot place them inside shard_map, so
+    the collectives the Megatron pattern needs are written out —
+    PP x TP x DP in one jitted step). ``expert > 1`` likewise shards an
+    MoE block's experts over an "expert" axis within the stage (each
+    shard runs its local experts on the replicated activations and the
+    combine partial-sums over "expert") — PP x EP x DP."""
     devices = devices if devices is not None else jax.devices()
     if stages is None:
-        stages = len(devices) // data
-    arr = np.array(devices[: data * stages]).reshape(data, stages)
-    return Mesh(arr, ("data", "stage"))
+        stages = len(devices) // (data * model * expert)
+    axes = [("data", data), ("stage", stages)]
+    if expert > 1:
+        axes.append(("expert", expert))
+    if model > 1:
+        axes.append(("model", model))
+    n = int(np.prod([s for _, s in axes]))
+    arr = np.array(devices[:n]).reshape([s for _, s in axes])
+    return Mesh(arr, tuple(name for name, _ in axes))
 
 
 def stack_layer_params(layers: List[Dict], n_stages: int):
@@ -97,6 +120,36 @@ def stage_specs(stacked):
     return jax.tree.map(lambda _: P("stage"), stacked)
 
 
+def stacked_stage_specs(moe: bool = False, tp: bool = False, ep: bool = False):
+    """PartitionSpec tree for one stacked-layer dict (leaves [S, per, ...]).
+
+    ``tp``: Megatron layout on the trailing weight dims (q/k/v/ff1
+    column-parallel, o/ff2 row-parallel) over "model" — matches
+    ``tp.transformer_param_specs`` shifted right by the [S, per] stacking.
+    ``ep``: MoE expert weights sharded on their expert axis over "expert".
+    Everything is replicated over "data". Used both to place the params
+    (``tp.shard_tree``) and as the shard_map in_specs inside
+    ``make_pp_transformer_apply`` — one source of truth for the layout."""
+    st = "stage"
+    m = "model" if tp else None
+    col = {"w": P(st, None, None, m), "b": P(st, None, m)}
+    row = {"w": P(st, None, m, None), "b": P(st)}
+    ln = {"scale": P(st), "bias": P(st)}
+    layer = {"q": col, "k": col, "v": col, "o": row,
+             "attn_ln": ln, "ff_ln": ln}
+    if moe:
+        e = "expert" if ep else None
+        layer["moe"] = {
+            "router": {"w": P(st)},
+            "ff1": {"w": P(st, None, e, None, m), "b": P(st, None, e, m)},
+            "ff2": {"w": P(st, None, e, m, None), "b": P(st, None, e)},
+        }
+    else:
+        layer["ff1"] = col
+        layer["ff2"] = row
+    return layer
+
+
 def make_pp_transformer_apply(
     cfg: TransformerConfig, mesh: Mesh, n_micro: int, remat: bool = False
 ):
@@ -117,18 +170,46 @@ def make_pp_transformer_apply(
     accumulates the raw routing sums (``moe_stats=True``) per valid tick,
     and the global per-layer aux is recovered from the summed stats
     (``moe_aux_from_stats``) — bitwise the same statistic a single global
-    pass computes, up to f32 reassociation. Experts stay replicated within
-    a stage (EP's GSPMD constraint can't apply inside shard_map); MoE
-    scaling across chips composes as EP x DP outside PP (parallel/ep.py).
+    pass computes, up to f32 reassociation.
+
+    A "model" mesh axis runs each stage Megatron-TP (explicit
+    ``psum("model")`` after attention-o and ff2 — GSPMD cannot insert
+    collectives inside shard_map, so the block issues them itself via
+    ``model_axis``): the full PP x TP x DP stack in one jitted step. An
+    "expert" mesh axis shards an MoE stage's experts (each shard runs its
+    local experts on replicated activations; the sliced combine partial-
+    sums over "expert"): PP x EP x DP, composable with "model" for the
+    4-axis PP x EP x TP x DP layout. Weight placement must match
+    ``stacked_stage_specs(moe, tp, ep)`` (``pp_verdict_specs(pp, mesh)``).
     """
     if cfg.attention != "xla":
         raise ValueError("pipeline stages support the XLA attention path")
     S = mesh.shape["stage"]
     M = n_micro
     moe = cfg.moe is not None
+    tp_size = mesh.shape.get("model", 1)
+    ep_size = mesh.shape.get("expert", 1)
+    model_axis = "model" if tp_size > 1 else None
+    expert_axis = "expert" if ep_size > 1 else None
+    if tp_size > 1:
+        if cfg.heads % tp_size:
+            raise ValueError(f"heads {cfg.heads} not divisible by TP {tp_size}")
+        if cfg.intermediate % tp_size:
+            raise ValueError(
+                f"intermediate {cfg.intermediate} not divisible by TP {tp_size}"
+            )
+    if ep_size > 1:
+        if not moe:
+            raise ValueError("mesh has an 'expert' axis but cfg.moe is None")
+        if cfg.moe.num_experts % ep_size:
+            raise ValueError(
+                f"experts {cfg.moe.num_experts} not divisible by EP {ep_size}"
+            )
 
     def pipeline(stacked_local, xs, masks):
-        # stacked_local leaves: [1, L/S, ...] (this stage's blocks).
+        # stacked_local leaves: [1, L/S, ...] (this stage's blocks,
+        # additionally Megatron-/expert-sharded on trailing dims under
+        # TP/EP — transformer_block issues the matching explicit psums).
         blocks = jax.tree.map(lambda a: a[0], stacked_local)
         per = jax.tree.leaves(blocks)[0].shape[0]
         stage = jax.lax.axis_index("stage")
@@ -138,13 +219,16 @@ def make_pp_transformer_apply(
             if moe:
                 def body(h, lp):
                     return transformer_block(
-                        h, lp, cfg, bias, moe_mask=mask, moe_stats=True
+                        h, lp, cfg, bias, moe_mask=mask, moe_stats=True,
+                        model_axis=model_axis, expert_axis=expert_axis,
                     )
 
                 return jax.lax.scan(body, x, blocks)  # (h, stats [per,...])
 
             def body(h, lp):
-                return transformer_block(h, lp, cfg, bias), None
+                return transformer_block(
+                    h, lp, cfg, bias, model_axis=model_axis
+                ), None
 
             h, _ = jax.lax.scan(body, x, blocks)
             return h, None
@@ -221,17 +305,23 @@ def make_pp_transformer_apply(
         aux = jax.lax.psum(aux, "stage") / float(S * per)
         return out, aux
 
-    # Stacked weights: leading axis "stage", replicated over "data".
-    # Activations [M, mb, ...]: microbatch elements sharded over "data"
-    # (each DP replica pipelines its slice; batch elements never interact
-    # inside a block, so the schedule is unchanged per replica).
+    # Stacked weights: leading axis "stage", replicated over "data",
+    # Megatron-/expert-sharded on trailing dims under TP/EP. Activations
+    # [M, mb, ...]: microbatch elements sharded over "data" (each DP
+    # replica pipelines its slice; batch elements never interact inside a
+    # block, so the schedule is unchanged per replica), replicated over
+    # "model"/"expert" (the TP formulation: sharded weights, replicated
+    # activations, explicit all-reduce of the partial sums).
     d_size = mesh.shape.get("data", 1)
     mb_spec = P(None, "data") if d_size > 1 else P()
+    w_specs = stacked_stage_specs(
+        moe=moe, tp=tp_size > 1, ep=ep_size > 1
+    )
     sharded = shard_map(
         pipeline,
         mesh=mesh,
-        in_specs=(P("stage"), mb_spec, mb_spec),  # prefix spec: leading
-        out_specs=(mb_spec, P()) if moe else mb_spec,  # stacked ax = stage
+        in_specs=(w_specs, mb_spec, mb_spec),
+        out_specs=(mb_spec, P()) if moe else mb_spec,
         check_vma=False,  # outputs replicated over stage by the psum
     )
 
@@ -298,12 +388,21 @@ def verdict_params_from_pp(pp_params: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
-def pp_verdict_specs(pp_params) -> Dict[str, Any]:
+def pp_verdict_specs(pp_params, mesh: Mesh = None) -> Dict[str, Any]:
     """PartitionSpec tree for ``pp_verdict_params``'s layout (feeds
-    ``tp.shard_tree`` / ``tp.init_sharded_opt_state``)."""
+    ``tp.shard_tree`` / ``tp.init_sharded_opt_state``). Pass the mesh so
+    TP ("model") / EP ("expert") axes shard the stage weights to match
+    ``make_pp_transformer_apply``'s shard_map in_specs."""
+    tp = mesh is not None and mesh.shape.get("model", 1) > 1
+    ep = mesh is not None and mesh.shape.get("expert", 1) > 1
+    moe = "moe" in pp_params["stages"]
+    if tp or ep:
+        stages = stacked_stage_specs(moe=moe, tp=tp, ep=ep)
+    else:
+        stages = stage_specs(pp_params["stages"])
     return {
         "embed": jax.tree.map(lambda _: P(), pp_params["embed"]),
-        "stages": stage_specs(pp_params["stages"]),
+        "stages": stages,
         "head_dense": jax.tree.map(lambda _: P(), pp_params["head_dense"]),
         "head_out": jax.tree.map(lambda _: P(), pp_params["head_out"]),
     }

@@ -83,11 +83,11 @@ def train_verdict(
     #   names select the layout: "data" -> DP (batch sharded, grad psum),
     #   "model" -> Megatron TP (parallel/tp.py), "expert" -> EP for MoE
     #   encoders (parallel/ep.py), "stage" -> GPipe pipeline parallelism
-    #   (parallel/pp.py; composes with "data" only — PP runs its own
-    #   shard_map schedule, inside which TP/EP's GSPMD constraints cannot
-    #   apply). Other combinations compose (e.g. the 3-axis
-    #   ("data", "expert", "model") mesh). Parity with the single-device
-    #   loop is pinned by tests/test_verdict_mesh.py
+    #   (parallel/pp.py). All axes compose: on a "stage" mesh, "model"/
+    #   "expert" run inside the pipeline stages via explicit collectives
+    #   (PP x TP x DP, PP x EP x DP, PP x EP x TP); without "stage" they
+    #   compose via GSPMD (e.g. ("data", "expert", "model")). Parity with
+    #   the single-device loop is pinned by tests/test_verdict_mesh.py
     pp_micro: int = 4,  # microbatches per step on a "stage" mesh;
     #   batch_size must divide into them
 ):
@@ -110,12 +110,6 @@ def train_verdict(
     )
     to_std = lambda p: p  # mesh layouts may differ; val/save use this view
     if mesh is not None and "stage" in mesh.axis_names:
-        if "model" in mesh.axis_names or "expert" in mesh.axis_names:
-            raise ValueError(
-                'a "stage" (PP) mesh composes with "data" only — TP/EP '
-                "GSPMD constraints cannot apply inside the pipeline's "
-                "shard_map"
-            )
         from ircl_tpu.parallel.pp import (
             make_pp_verdict_train_step,
             pp_verdict_params,
@@ -134,7 +128,7 @@ def train_verdict(
                 f"pp_micro={pp_micro} microbatches"
             )
         params = pp_verdict_params(params, mesh.shape["stage"])
-        specs = pp_verdict_specs(params)
+        specs = pp_verdict_specs(params, mesh)
         step_fn, tx = make_pp_verdict_train_step(cfg, mesh, n_micro=pp_micro)
         params = shard_tree(params, specs, mesh)
         opt_state = init_sharded_opt_state(tx, params, mesh, specs)
