@@ -56,6 +56,7 @@ class _State:
         self.cpu_qps = 0.0
         self.parity_ok = False
         self.best_qps = 0.0
+        self.rounds: list[float] = []
         self.phase = "startup"
         self.printed = False
         self.done = threading.Event()
@@ -77,6 +78,12 @@ class _State:
                         else None
                     ),
                 }
+                # value is best-of (shared host: load swings rounds 2-3x,
+                # CLAUDE.md); the median is the honest expected-throughput
+                # number — carry both so the artifact is self-describing.
+                if self.rounds:
+                    line["median"] = round(float(np.median(self.rounds)), 1)
+                    line["rounds"] = len(self.rounds)
             else:
                 # Salvage: no parity-gated TPU number yet. Record the CPU
                 # baseline so the round still produces an artifact.
@@ -287,6 +294,7 @@ def worker(args):
         dt = time.time() - t0
         qps = reps * NUM_CLAIMS / dt
         rounds.append(qps)
+        STATE.rounds.append(qps)
         STATE.best_qps = max(STATE.best_qps, qps)
         log(f"tpu steady-state round {r}: {qps:.1f} q/s")
         # converged: 3 consecutive rounds within 3% of the best seen
@@ -298,23 +306,24 @@ def worker(args):
     STATE.emit()
 
     # Serving-latency view: single-batch round trips after the plateau, so
-    # no pipelining hides the per-dispatch latency. Two batch sizes: the
-    # throughput batch and a B=128 interactive batch. B=128 is a DIFFERENT
-    # compiled shape (the query slab is [T, B]); it only runs when its
-    # marker shows the shape was warmed before — a cold remote compile
-    # after the judged line could still blow the driver's timeout.
+    # no pipelining hides the per-dispatch latency. B=512/128 are DIFFERENT
+    # compiled shapes (the query slab is [T, B]); they compile HERE, after
+    # the judged line is already on stdout — a slow remote compile can only
+    # cost these diagnostic lines (the SIGTERM salvage exits 0 and emit()
+    # is a no-op), never the judged number. A wall-clock budget bounds the
+    # total spend so a pathological compile doesn't eat the driver's whole
+    # timeout window. (Round 4's marker gate silently dropped the B=128
+    # line under the driver's fresh process — VERDICT.md weak item 1.)
+    STATE.phase = "latency"
+    lat_budget = float(os.environ.get("IRCL_BENCH_LAT_BUDGET", "600"))
+    t_lat = time.time()
     try:
-        for B in (NUM_CLAIMS, 128):
-            if B != NUM_CLAIMS:
-                m = _marker_path(
-                    f"lat{B}", args.union_round, args.df_threshold, args.d_tile
-                )
-                if not os.path.exists(m):
-                    if os.environ.get("IRCL_BENCH_WARM_LATENCY"):
-                        pass  # warming session: compile it now, drop marker
-                    else:
-                        log(f"latency B={B}: shape not warmed, skipping")
-                        continue
+        for B in dict.fromkeys((NUM_CLAIMS, 512, 128)):
+            if B > NUM_CLAIMS:
+                continue
+            if B != NUM_CLAIMS and time.time() - t_lat > lat_budget:
+                log(f"latency B={B}: {lat_budget:.0f}s budget spent, skipping")
+                continue
             sub = claims[:B]
             # burn-in: the first calls at a new shape pay the compile-cache
             # load + lazy upload (~seconds) and would pollute p95
@@ -333,17 +342,6 @@ def worker(args):
                 f"p50 {lat[len(lat)//2]*1e3:.1f} ms, "
                 f"p95 {lat[int(len(lat)*0.95)]*1e3:.1f} ms"
             )
-            if B != NUM_CLAIMS:
-                with open(
-                    _marker_path(
-                        f"lat{B}",
-                        args.union_round,
-                        args.df_threshold,
-                        args.d_tile,
-                    ),
-                    "w",
-                ):
-                    pass
     except Exception as e:  # noqa: BLE001 — never risk the judged line
         log(f"latency probe failed (ignored): {e!r}")
 
