@@ -340,6 +340,57 @@ def test_batcher_coalesces_concurrent_requests(ranker):
     assert used < len(queries), f"no coalescing happened ({used} dispatches)"
 
 
+def test_batcher_coalesces_under_sustained_load(ranker):
+    """Regression guard for the closed-loop serving scenario bench_serve.py
+    measures: N clients each firing a stream of 1-query requests. While one
+    device batch is in flight the others queue up, so steady state must
+    coalesce — total dispatches well below total requests — and every reply
+    must still be bit-identical to a direct call (slices of a shared
+    top-k_max computation)."""
+    from ircl_tpu.serve import BatchingService
+
+    n_clients, reqs_each = 6, 10
+    svc = RetrievalService(ranker, batch_size=8, default_k=3)
+    svc.search(["warmup"])
+    base_dispatches = svc.metrics.device_batches
+    # max_wait covers thread-scheduling jitter on the 1-core host; the cap
+    # below still requires real coalescing, not just the linger window
+    batcher = BatchingService(svc, max_wait_ms=50.0)
+    results = [[None] * reqs_each for _ in range(n_clients)]
+    errors = []
+    start = threading.Barrier(n_clients)
+
+    def client(i):
+        try:
+            start.wait()
+            for r in range(reqs_each):
+                q = QUERIES[(i + r) % len(QUERIES)] + f" v{i}"
+                results[i][r] = (q, batcher.search([q]))
+        except BaseException as e:  # pragma: no cover - fail loudly below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    batcher.close()
+    assert not errors, errors
+    total = n_clients * reqs_each
+    for per_client in results:
+        for got in per_client:
+            assert got is not None, "a request never completed"
+            q, res = got
+            _assert_matches_direct(res, ranker, [q], 3)
+    used = svc.metrics.device_batches - base_dispatches
+    assert used <= total // 2, (
+        f"sustained load did not coalesce: {used} dispatches "
+        f"for {total} requests"
+    )
+
+
 def test_batcher_respects_per_request_k(ranker):
     from ircl_tpu.serve import BatchingService
 
