@@ -118,10 +118,12 @@ def transformer_embed(
     cfg: TransformerConfig,
     ids: jnp.ndarray,  # [B, L] int32
     type_ids: Optional[jnp.ndarray] = None,
+    pos_start=0,  # first position index (context-parallel shards pass
+    #   axis_index("seq") * L_local so each holds its global positions)
 ) -> jnp.ndarray:
     """Embedding sum + embedding layernorm -> [B, L, hidden]."""
     L = ids.shape[1]
-    pos = jnp.arange(L) + cfg.position_offset
+    pos = jnp.arange(L) + cfg.position_offset + pos_start
     x = (
         params["tok_emb"][ids]
         + params["pos_emb"][pos][None, :, :]
@@ -155,6 +157,7 @@ def attention_sublayer(
     cfg: TransformerConfig,
     attn_ctx,  # attention_mask_inputs(cfg, mask)
     model_axis: Optional[str] = None,  # explicit Megatron TP under shard_map
+    seq_axis: Optional[str] = None,  # ring-attention CP under shard_map
 ) -> jnp.ndarray:
     """MHA -> Add&LN (the first half of a post-LN block).
 
@@ -163,8 +166,11 @@ def attention_sublayer(
     arrive column/row-sharded; the head count is inferred from the local
     q-projection width and the o-projection partial sums are all-reduced
     with an explicit ``lax.psum`` (GSPMD cannot insert collectives inside
-    shard_map). None = the normal GSPMD/single-device path, numerically
-    identical code."""
+    shard_map). ``seq_axis``: context parallelism (``parallel/cp.py``) —
+    x and attn_ctx arrive sequence-sharded over that mesh axis and the
+    score/value reduction runs as blockwise ring attention
+    (``ops/ring_attention.py``) instead of a local softmax. None = the
+    normal GSPMD/single-device path, numerically identical code."""
     B, L, _ = x.shape
     dtype = cfg.dtype
     hd = cfg.hidden // cfg.heads
@@ -172,7 +178,13 @@ def attention_sublayer(
     q = _dense(x, lp["q"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     k = _dense(x, lp["k"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
     v = _dense(x, lp["v"]).reshape(B, L, nh, hd).transpose(0, 2, 1, 3)
-    if cfg.attention == "flash":
+    if seq_axis is not None:
+        if cfg.attention == "flash":
+            raise ValueError("ring-attention CP supports the XLA path")
+        from ircl_tpu.ops.ring_attention import ring_attention
+
+        ctx = ring_attention(q, k, v, attn_ctx, seq_axis)
+    elif cfg.attention == "flash":
         if model_axis is not None:
             raise ValueError("explicit-TP attention supports the XLA path")
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -217,6 +229,7 @@ def transformer_block(
     moe_stats: bool = False,  # return additive routing sums instead of aux
     model_axis: Optional[str] = None,  # explicit TP axis (shard_map callers)
     expert_axis: Optional[str] = None,  # explicit EP axis (shard_map callers)
+    seq_axis: Optional[str] = None,  # ring-attention CP axis (parallel/cp.py)
 ):
     """One post-LN encoder block (MHA -> Add&LN -> FFN -> Add&LN).
 
@@ -237,8 +250,21 @@ def transformer_block(
     shard_map callers (``parallel/pp.py`` PP x TP / PP x EP) — weights
     arrive Megatron-/expert-sharded and the all-reduces GSPMD would insert
     are issued as ``lax.psum`` over the named mesh axes. None (default) =
-    the GSPMD/single-device path, numerically identical."""
-    x = attention_sublayer(x, lp, cfg, attn_ctx, model_axis=model_axis)
+    the GSPMD/single-device path, numerically identical.
+
+    ``seq_axis``: context parallelism (``parallel/cp.py``) — x/attn_ctx
+    arrive sequence-sharded and attention streams K/V blocks around the
+    ring; LN/FFN are position-wise, so they need no collective. MoE under
+    CP is rejected (routing capacity groups would change shape per shard;
+    compose EP/PP for MoE models instead)."""
+    if seq_axis is not None and cfg.moe is not None:
+        raise ValueError(
+            "context parallelism does not compose with MoE blocks: local "
+            "routing capacity would differ from the global routing"
+        )
+    x = attention_sublayer(
+        x, lp, cfg, attn_ctx, model_axis=model_axis, seq_axis=seq_axis
+    )
     if cfg.moe is not None:
         y, aux = moe_ffn(
             x, lp["moe"], cfg.moe, ep_constrain, moe_mask,
