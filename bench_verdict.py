@@ -35,6 +35,13 @@ def main():
     # the single-chip cost of the expert-parallel model variant
     ap.add_argument("--moe-experts", type=int, default=0)
     ap.add_argument("--moe-topk", type=int, default=2)
+    # which dtypes to run; at B=64 f32 the XLA path's materialized
+    # attention probs alone are ~19GB (12 x [64,12,512,512] f32) and OOM
+    # a 16GB v5e — run bf16-only there (or --attention flash)
+    ap.add_argument(
+        "--dtypes", nargs="+", choices=("f32", "bf16"),
+        default=["f32", "bf16"],
+    )
     args = ap.parse_args()
 
     from ircl_tpu.utils.benchtime import probe_backend, unavailable_line
@@ -71,6 +78,8 @@ def main():
     B, L = args.batch, 512  # reference: B=8, src/QA/train.py:31-43
     results = {}
     for tag, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        if tag not in args.dtypes:
+            continue
         enc = TransformerConfig(
             vocab_size=50265,  # roberta-base
             hidden=768,
@@ -146,7 +155,10 @@ def main():
         json.dumps(
             {
                 "metric": "verdict_train_steps_per_s_roberta_base_shape",
-                "value": results["train_steps_per_s_bf16"],
+                "value": results.get(
+                    "train_steps_per_s_bf16",
+                    results.get("train_steps_per_s_f32"),
+                ),
                 "unit": f"steps/s (B={B}, L=512)",
                 "detail": results,
             }
