@@ -158,6 +158,49 @@ def bench_http(service, queries, clients_list, duration_s):
             server.batcher.close()
 
 
+def bench_native_http(service, queries, clients_list, duration_s):
+    """The C++ epoll front (serve_native.py) under the same closed-loop
+    load as bench_http, but with per-client persistent connections — the
+    keep-alive the native front adds is part of what is being measured."""
+    import http.client
+
+    from ircl_tpu.serve_native import native_available, serve_native_http
+
+    if not native_available():
+        log("native front unavailable; skipping http_native scenarios")
+        return
+    server = serve_native_http(service, port=0, batch_wait_ms=5.0, workers=2)
+    tls = threading.local()
+
+    def call(qs):
+        conn = getattr(tls, "conn", None)
+        if conn is None:
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", server.port, timeout=120
+            )
+            tls.conn = conn
+        body = json.dumps({"queries": qs}).encode()
+        try:
+            conn.request(
+                "POST", "/search", body=body,
+                headers={"Content-Type": "application/json"},
+            )
+            json.loads(conn.getresponse().read())
+        except Exception:
+            tls.conn = None  # reconnect on the next call
+            raise
+
+    try:
+        for c in clients_list:
+            before = service.metrics.snapshot()
+            res = run_clients(call, c, duration_s, queries)
+            res.update(_dispatch_delta(service, before, res["requests"]))
+            emit(f"http_native_c{c}", **res)
+            log(f"http native c={c}: {res}")
+    finally:
+        server.close()
+
+
 def bench_offline_reference(service, queries):
     """Context row: one caller with full device batches (the engine's own
     throughput through the service facade, no concurrency machinery)."""
@@ -347,6 +390,7 @@ def main():
     bench_search(svc, queries, args.clients, args.duration)
     if not args.skip_http:
         bench_http(svc, queries, args.clients[-2:], args.duration)
+        bench_native_http(svc, queries, args.clients[-2:], args.duration)
 
     if not args.skip_stages:
         staged, claims = build_staged_service(args.staged_docs)

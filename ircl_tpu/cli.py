@@ -504,6 +504,34 @@ def cmd_serve(args):
         n = serve_stdin(service, sys.stdin, sys.stdout)
         print(f"served {n} requests", file=sys.stderr)
         return
+    if args.native_front:
+        import threading
+
+        from ircl_tpu.serve_native import native_available, serve_native_http
+
+        if native_available():
+            native = serve_native_http(
+                service,
+                host=args.host,
+                port=args.port,
+                batch_wait_ms=args.batch_wait_ms,
+            )
+            print(
+                f"serving on http://{args.host}:{native.port} "
+                f"(native epoll front; POST /search, GET /healthz, "
+                f"GET /metrics)",
+                file=sys.stderr,
+            )
+            try:
+                threading.Event().wait()  # workers run until interrupted
+            finally:
+                native.close()
+            return
+        print(
+            "native front unavailable (libircl_http.so did not build); "
+            "falling back to the stdlib transport",
+            file=sys.stderr,
+        )
     server = serve_http(
         service,
         host=args.host,
@@ -637,6 +665,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--batch-wait-ms", type=float, default=None,
         help="coalesce concurrent requests into shared device batches, "
         "waiting up to this long for co-riders (HTTP transport only)",
+    )
+    s.add_argument(
+        "--native-front", dest="native_front", action="store_true",
+        help="serve HTTP through the native epoll front "
+        "(native/libircl_http.so; keep-alive, C++ parse/IO) instead of "
+        "the stdlib ThreadingHTTPServer",
     )
     s.set_defaults(fn=cmd_serve)
     return p

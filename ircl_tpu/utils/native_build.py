@@ -1,8 +1,15 @@
-"""Build helper for the native C++ host library (ctypes-loaded).
+"""Build helper for the native C++ host libraries (ctypes-loaded).
 
-Compiles ``native/src/ircl_native.cpp`` into ``native/libircl_native.so`` with
-g++ if the shared object is missing or stale. Build is best-effort: every
-caller has a pure-Python fallback, so failure here degrades performance only.
+Compiles each source in ``native/src/`` into its shared object with g++ if
+the .so is missing or stale:
+
+- ``ircl_native.cpp`` -> ``native/libircl_native.so`` (host hot paths:
+  hashing, tokenization, split fill, pool gather)
+- ``ircl_http.cpp`` -> ``native/libircl_http.so`` (epoll HTTP front for the
+  serving layer; needs -pthread)
+
+Build is best-effort: every caller has a pure-Python fallback, so failure
+here degrades performance only.
 """
 
 from __future__ import annotations
@@ -10,15 +17,21 @@ from __future__ import annotations
 import os
 import subprocess
 
+_LIBS = {
+    "native": ("ircl_native.cpp", "libircl_native.so", []),
+    "http": ("ircl_http.cpp", "libircl_http.so", ["-pthread"]),
+}
+
 
 def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_native(force: bool = False) -> str | None:
+def build_native(force: bool = False, lib: str = "native") -> str | None:
+    src_name, out_name, extra = _LIBS[lib]
     root = repo_root()
-    src = os.path.join(root, "native", "src", "ircl_native.cpp")
-    out = os.path.join(root, "native", "libircl_native.so")
+    src = os.path.join(root, "native", "src", src_name)
+    out = os.path.join(root, "native", out_name)
     if not os.path.exists(src):
         return None
     if not force and os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
@@ -30,6 +43,7 @@ def build_native(force: bool = False) -> str | None:
         "-shared",
         "-fPIC",
         "-std=c++17",
+        *extra,
         "-o",
         out,
         src,
@@ -42,5 +56,6 @@ def build_native(force: bool = False) -> str | None:
 
 
 if __name__ == "__main__":
-    path = build_native(force=True)
-    print(path or "native build failed")
+    for lib in _LIBS:
+        path = build_native(force=True, lib=lib)
+        print(f"{lib}: {path or 'build failed'}")
