@@ -358,14 +358,17 @@ class RetrievalService:
 class _Pending:
     """One in-flight request inside the micro-batcher."""
 
-    __slots__ = ("queries", "k", "event", "result", "error")
+    __slots__ = ("queries", "k", "event", "result", "error", "callback")
 
-    def __init__(self, queries: List[str], k: int):
+    def __init__(self, queries: List[str], k: int, callback=None):
         self.queries = queries
         self.k = k
         self.event = threading.Event()
         self.result: Optional[List[List[dict]]] = None
         self.error: Optional[BaseException] = None
+        # async completion (submit()): called as callback(result, error)
+        # on the dispatcher thread after the event is set
+        self.callback = callback
 
 
 class BatchingService:
@@ -423,6 +426,37 @@ class BatchingService:
             raise pend.error
         return pend.result
 
+    def submit(
+        self, queries: Sequence[str], k: Optional[int], callback
+    ) -> None:
+        """Asynchronous `search`: enqueue and return immediately;
+        `callback(result, error)` fires on the dispatcher thread once the
+        shared batch completes (exactly one of the two is not None).
+
+        This is what lets a FIXED worker pool (the native HTTP front)
+        drive the batcher at full coalescing: a blocking `search` pins one
+        thread per in-flight request for the whole device round trip, so
+        n_workers caps queries-per-dispatch; `submit` costs the worker
+        only the enqueue. Validation errors raise synchronously in the
+        caller, like `search`."""
+        k = self.service._validate(queries, k)
+        if len(queries) >= self.service.batch_size:
+            # fills device batches on its own — run inline (blocking the
+            # caller, exactly like the sync path for oversized requests)
+            try:
+                result = self.service.search(queries, k=k)
+            except BaseException as e:  # noqa: BLE001 - handed to callback
+                callback(None, e)
+                return
+            callback(result, None)
+            return
+        pend = _Pending(list(queries), k, callback=callback)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingService is closed")
+            self._queue.append(pend)
+            self._cv.notify_all()
+
     def close(self) -> None:
         """Stop the dispatcher after draining queued requests."""
         with self._cv:
@@ -472,6 +506,11 @@ class BatchingService:
                 for p in batch:
                     p.error = e
                     p.event.set()
+                    if p.callback is not None:
+                        try:
+                            p.callback(None, e)
+                        except Exception:  # noqa: BLE001
+                            pass  # a callback must never kill the loop
                 continue
             lo = 0
             for p in batch:
@@ -485,6 +524,11 @@ class BatchingService:
                     for ids, scores in rows
                 ]
                 p.event.set()
+                if p.callback is not None:
+                    try:
+                        p.callback(p.result, None)
+                    except Exception:  # noqa: BLE001
+                        pass  # a callback must never kill the loop
 
 
 def make_service(

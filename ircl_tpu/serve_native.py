@@ -27,11 +27,14 @@ import json
 import threading
 from typing import Optional
 
+import time
+
 from ircl_tpu.serve import (
     MAX_BODY_BYTES,
     BatchingService,
     RetrievalService,
     _handle,
+    parse_request,
 )
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -150,6 +153,54 @@ class NativeHTTPServer:
             return 400, {"error": str(e)}
         return 200, payload
 
+    def _respond(self, rid: int, status: int, payload: dict) -> None:
+        h = self._handle_ptr
+        if h is None:  # server already stopped (close() drains first)
+            return
+        reply = json.dumps(payload).encode()
+        self._lib.ih_respond(h, rid, status, reply, len(reply), 0)
+
+    def _try_submit_async(self, rid: int, method: str, path: str,
+                          body: bytes) -> bool:
+        """Plain doc-search with a batcher: enqueue WITHOUT blocking this
+        worker (`BatchingService.submit`); the dispatcher thread answers
+        through `ih_respond` (thread-safe, non-blocking). A blocking
+        `batcher.search` here would pin one worker per in-flight request
+        for the whole device round trip, capping coalescing at the pool
+        size — the first native-front bench measured exactly that
+        (queries/dispatch == n_workers). Returns False when this request
+        is not async-eligible (caller falls back to the sync route)."""
+        if self.batcher is None or method != "POST" or path != "/search":
+            return False
+        try:
+            req = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            return False  # sync route replies 400 with the shared message
+        if not isinstance(req, dict) or "claims" in req or "claim" in req:
+            return False
+        try:
+            queries, k, k_sents = parse_request(req)
+        except (KeyError, ValueError, TypeError):
+            return False
+        if req.get("sentences") or k_sents is not None:
+            return False  # later stages do per-request work: sync route
+        t0 = time.monotonic()
+        metrics = self.service.metrics
+
+        def done(result, error):
+            if error is not None:
+                metrics.record_error()
+                self._respond(rid, 500, {"error": str(error)})
+                return
+            metrics.record_request(len(queries), time.monotonic() - t0)
+            self._respond(rid, 200, {"results": result})
+
+        try:
+            self.batcher.submit(queries, k, done)
+        except (ValueError, RuntimeError):
+            return False  # validation error: sync route replies 400
+        return True
+
     def _worker(self) -> None:
         lib = self._lib
         h = self._handle_ptr
@@ -168,13 +219,14 @@ class NativeHTTPServer:
             try:
                 method, _, path = meta.value.decode().partition(" ")
                 body = ctypes.string_at(body_ptr, body_len.value)
+                if self._try_submit_async(rid, method, path, body):
+                    continue  # dispatcher thread will respond
                 try:
                     status, payload = self._route(method, path, body)
                 except Exception as e:  # routing must never kill a worker
                     self.service.metrics.record_error()
                     status, payload = 500, {"error": f"internal: {e}"}
-                reply = json.dumps(payload).encode()
-                lib.ih_respond(h, rid, status, reply, len(reply), 0)
+                self._respond(rid, status, payload)
             except Exception:
                 # last resort: free the request slot so the connection
                 # is not wedged forever
@@ -186,10 +238,13 @@ class NativeHTTPServer:
         self._closing.set()
         for t in self._threads:
             t.join(timeout=5.0)
-        self._lib.ih_stop(self._handle_ptr)
-        self._handle_ptr = None
+        # Drain the batcher FIRST: queued async requests still hold C++
+        # request slots, and their completion callbacks call ih_respond —
+        # the server handle must outlive them.
         if self.batcher is not None:
             self.batcher.close()
+        self._lib.ih_stop(self._handle_ptr)
+        self._handle_ptr = None
 
 
 def serve_native_http(

@@ -391,6 +391,75 @@ def test_batcher_coalesces_under_sustained_load(ranker):
     )
 
 
+def test_batcher_submit_async(ranker):
+    """`submit` (the native front's non-blocking handoff) must deliver the
+    same results as `search` through the callback, run oversized requests
+    inline, and raise validation errors synchronously in the caller."""
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=4, default_k=3)
+    batcher = BatchingService(svc, max_wait_ms=2.0)
+    try:
+        # queued path (3 queries < batch_size=4)
+        done = threading.Event()
+        got = {}
+
+        def cb(result, error):
+            got["r"], got["e"] = result, error
+            done.set()
+
+        batcher.submit(QUERIES, None, cb)
+        assert done.wait(30), "callback never fired"
+        assert got["e"] is None
+        _assert_matches_direct(got["r"], ranker, QUERIES, 3)
+
+        # oversized path runs inline: callback fires before submit returns
+        big = (QUERIES * 2)[:5]
+        inline = {}
+        batcher.submit(big, 2, lambda r, e: inline.update(r=r, e=e))
+        assert inline["e"] is None
+        _assert_matches_direct(inline["r"], ranker, big, 2)
+
+        # validation errors raise in the caller, not the callback
+        with pytest.raises(ValueError):
+            batcher.submit([QUERIES[0]], 0, lambda r, e: None)
+    finally:
+        batcher.close()
+
+
+def test_batcher_submit_coalesces_without_blocking_callers(ranker):
+    """One caller thread fires many submits back-to-back (the fixed-pool
+    native-front pattern); they must coalesce into few device batches even
+    though no caller ever blocks on a result."""
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(ranker, batch_size=8, default_k=3)
+    svc.search(["warmup"])
+    base = svc.metrics.device_batches
+    batcher = BatchingService(svc, max_wait_ms=50.0)
+    n = 12
+    done = [threading.Event() for _ in range(n)]
+    out = [None] * n
+    try:
+        for i in range(n):
+            q = QUERIES[i % len(QUERIES)] + f" v{i}"
+
+            def cb(result, error, i=i, q=q):
+                out[i] = (q, result, error)
+                done[i].set()
+
+            batcher.submit([q], None, cb)
+        for i in range(n):
+            assert done[i].wait(30), f"submit {i} never completed"
+            q, result, error = out[i]
+            assert error is None
+            _assert_matches_direct(result, ranker, [q], 3)
+    finally:
+        batcher.close()
+    used = svc.metrics.device_batches - base
+    assert used <= n // 2, f"submits did not coalesce: {used} for {n}"
+
+
 def test_batcher_respects_per_request_k(ranker):
     from ircl_tpu.serve import BatchingService
 
