@@ -40,6 +40,7 @@ scoring — device dispatch is serialized through the service lock.
 from __future__ import annotations
 
 import json
+import select
 import threading
 import time
 from collections import deque
@@ -719,24 +720,107 @@ def serve_http(
     return server
 
 
+def _drain_lines(infile, cap: int) -> List[str]:
+    """Block for one line, then greedily take lines that are ALREADY
+    available, up to ``cap``. Real files/pipes consult ``select`` with a
+    zero timeout so an interactive client still gets a reply per line;
+    file-likes without a usable descriptor (StringIO, tests) drain
+    freely — they never block. This is what turns a piped JSONL file of
+    single-query requests into full device batches instead of one padded
+    dispatch per line."""
+    first = infile.readline()
+    if not first:
+        return []
+    lines = [first]
+    try:
+        infile.fileno()
+        has_fd = True
+    except (AttributeError, OSError, ValueError):
+        has_fd = False
+    while len(lines) < cap:
+        if has_fd:
+            try:
+                ready, _, _ = select.select([infile], [], [], 0)
+            except (OSError, ValueError):
+                break
+            if not ready:
+                break
+        line = infile.readline()
+        if not line:
+            break
+        lines.append(line)
+    return lines
+
+
+_SKIP = object()  # blank input line: emit nothing
+
+
 def serve_stdin(service: RetrievalService, infile, outfile) -> int:
     """JSONL loop: one request object per line (`{"queries": [...], "k": n}`
     or `{"query": "..."}`; add `"sentences": true` / `"k_sents": n` for the
     two-stage reply; `{"claims": [...]}` / `{"claim": "..."}` for claim
     verification), one `{"results": ...}` reply line each; blank lines
     skipped, malformed lines get an `{"error": ...}` line and the loop
-    continues. Returns the number of requests served."""
+    continues. Returns the number of requests served.
+
+    Bulk coalescing: plain doc-search lines that are already buffered
+    (piped files, bulk writers) are drained together (`_drain_lines`) and
+    share device batches — grouped by requested `k`, scored in one
+    `service.search` call per group, replies emitted in input order. The
+    engines are exact, so per-query results are independent of
+    batch-mates and identical to the line-at-a-time answers. Later-stage
+    lines (sentences/claims) and malformed lines keep their per-line
+    handling inside the same drain."""
     served = 0
-    for line in infile:
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            req = json.loads(line)
-            payload = _handle(service, req)
+    cap = max(1, service.batch_size)
+    while True:
+        lines = _drain_lines(infile, cap)
+        if not lines:
+            return served
+        replies: List[object] = [None] * len(lines)
+        # (slot, queries, k) for combinable plain doc-searches, keyed by k
+        groups: Dict[Optional[int], List[Tuple[int, List[str]]]] = {}
+        for i, raw in enumerate(lines):
+            line = raw.strip()
+            if not line:
+                replies[i] = _SKIP
+                continue
+            try:
+                req = json.loads(line)
+                combinable = (
+                    isinstance(req, dict)
+                    and "claims" not in req
+                    and "claim" not in req
+                    and not req.get("sentences")
+                    and req.get("k_sents") is None
+                )
+                if combinable:
+                    queries, k, _ = parse_request(req)
+                    groups.setdefault(k, []).append((i, queries))
+                else:
+                    replies[i] = _handle(service, req)
+                    served += 1
+            except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                replies[i] = {"error": str(e)}
+        for k, members in groups.items():
+            t0 = time.monotonic()
+            try:
+                flat = [q for _, qs in members for q in qs]
+                ranked = service.search(flat, k=k)
+            except (KeyError, ValueError, TypeError) as e:
+                service.metrics.record_error()
+                for i, _ in members:
+                    replies[i] = {"error": str(e)}
+                continue
+            dt = time.monotonic() - t0
+            lo = 0
+            for i, qs in members:
+                replies[i] = {"results": ranked[lo : lo + len(qs)]}
+                lo += len(qs)
+                service.metrics.record_request(len(qs), dt)
+                served += 1
+        for payload in replies:
+            if payload is _SKIP:
+                continue
             outfile.write(json.dumps(payload) + "\n")
-            served += 1
-        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
-            outfile.write(json.dumps({"error": str(e)}) + "\n")
         outfile.flush()
-    return served

@@ -307,6 +307,53 @@ def test_stdin_jsonl_loop(ranker):
     assert replies[3]["results"][0][0]["doc_id"] == "Mars"
 
 
+def test_stdin_bulk_lines_coalesce(ranker):
+    """A piped file of single-query lines must share device batches (one
+    dispatch for a buffered drain, not one padded dispatch per line) while
+    replies stay in input order and identical to direct calls."""
+    svc = RetrievalService(ranker, batch_size=8, default_k=3)
+    svc.search(["warmup"])
+    base = svc.metrics.device_batches
+    qs = [QUERIES[i % len(QUERIES)] + f" v{i}" for i in range(8)]
+    lines = [json.dumps({"query": q}) for q in qs]
+    out = io.StringIO()
+    served = serve_stdin(svc, io.StringIO("\n".join(lines) + "\n"), out)
+    assert served == 8
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(replies) == 8
+    for q, rep in zip(qs, replies):
+        _assert_matches_direct(rep["results"], ranker, [q], 3)
+    used = svc.metrics.device_batches - base
+    assert used <= 2, f"bulk stdin lines did not coalesce: {used} dispatches"
+
+
+def test_stdin_bulk_mixed_k_and_errors_keep_order(ranker):
+    """Coalescing must not reorder or cross-contaminate: mixed k values
+    form separate groups, malformed/blank/oversized-k lines keep their
+    per-line semantics, all in input order."""
+    svc = RetrievalService(ranker, batch_size=8, default_k=3)
+    lines = [
+        json.dumps({"query": QUERIES[0], "k": 1}),
+        "",  # blank: no reply line
+        json.dumps({"queries": [QUERIES[1], QUERIES[2]], "k": 2}),
+        "garbage{",  # malformed: error line in place
+        json.dumps({"query": QUERIES[2]}),  # default k
+        json.dumps({"query": QUERIES[0], "k": 1}),
+    ]
+    out = io.StringIO()
+    served = serve_stdin(svc, io.StringIO("\n".join(lines) + "\n"), out)
+    assert served == 4
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(replies) == 5  # 4 results + 1 error, blank skipped
+    _assert_matches_direct(replies[0]["results"], ranker, [QUERIES[0]], 1)
+    _assert_matches_direct(
+        replies[1]["results"], ranker, [QUERIES[1], QUERIES[2]], 2
+    )
+    assert "error" in replies[2]
+    _assert_matches_direct(replies[3]["results"], ranker, [QUERIES[2]], 3)
+    _assert_matches_direct(replies[4]["results"], ranker, [QUERIES[0]], 1)
+
+
 def test_batcher_coalesces_concurrent_requests(ranker):
     """8 concurrent 1-query clients share device batches: every reply is
     bit-identical to a direct call, and the dispatch count is far below one
