@@ -275,14 +275,37 @@ class RetrievalService:
 
         from ircl_tpu.pipeline.retrieve import gather_candidates
 
+        k = self._validate(queries, k)
+        k_sents = self.default_k_sents if k_sents is None else k_sents
+        n = len(queries)
+        return self.search_sentences_multi(queries, [k] * n, [k_sents] * n)
+
+    def search_sentences_multi(
+        self,
+        queries: Sequence[str],
+        ks: Sequence[int],
+        k_sents: Sequence[int],
+    ) -> List[List[dict]]:
+        """Per-query (k, k_sents) variant of `search_sentences` — what the
+        micro-batcher uses to coalesce requests with differing parameters
+        into ONE shared stage-1 batch and ONE stage-2 scoring pass. Exact:
+        the top-`ki` docs of a top-`max(ks)` ranking are that query's own
+        top-`ki` (same ordering), and stage-2 scores are per-query."""
+        import numpy as np
+
+        from ircl_tpu.pipeline.retrieve import gather_candidates
+
         if not self.has_sentence_stage:
             raise ValueError(
                 "sentence search unavailable: service was built without a "
                 "sentence_scorer/doc_sentences stage"
             )
-        k = self._validate(queries, k)
-        k_sents = self.default_k_sents if k_sents is None else k_sents
-        doc_ids = [ids for ids, _ in self._ranked(queries, k)]
+        if not queries:
+            return []
+        doc_ids = [
+            ids[:ki]
+            for (ids, _), ki in zip(self._ranked(queries, max(ks)), ks)
+        ]
         cand_sents, cand_keys = gather_candidates(doc_ids, self.doc_sentences)
         if hasattr(self.sentence_scorer, "score_keys"):
             # precomputed-table scorer (pipeline/dense_scorer.py): candidates
@@ -292,9 +315,11 @@ class RetrievalService:
         else:
             scores = self.sentence_scorer(list(queries), cand_sents)
         out: List[List[dict]] = []
-        for sents, keys, sc in zip(cand_sents, cand_keys, scores):
+        for sents, keys, sc, ksent in zip(
+            cand_sents, cand_keys, scores, k_sents
+        ):
             sc = np.asarray(sc)
-            order = np.argsort(-sc)[:k_sents]
+            order = np.argsort(-sc)[:ksent]
             out.append(
                 [
                     {
@@ -357,19 +382,35 @@ class RetrievalService:
 
 
 class _Pending:
-    """One in-flight request inside the micro-batcher."""
+    """One in-flight request inside the micro-batcher. `k_sents` is None
+    for doc-search requests; set for two-stage sentence requests."""
 
-    __slots__ = ("queries", "k", "event", "result", "error", "callback")
+    __slots__ = (
+        "queries", "k", "k_sents", "event", "result", "error", "callback"
+    )
 
-    def __init__(self, queries: List[str], k: int, callback=None):
+    def __init__(
+        self, queries: List[str], k: int, k_sents: Optional[int] = None,
+        callback=None,
+    ):
         self.queries = queries
         self.k = k
+        self.k_sents = k_sents
         self.event = threading.Event()
         self.result: Optional[List[List[dict]]] = None
         self.error: Optional[BaseException] = None
         # async completion (submit()): called as callback(result, error)
         # on the dispatcher thread after the event is set
         self.callback = callback
+
+    def finish(self, result, error) -> None:
+        self.result, self.error = result, error
+        self.event.set()
+        if self.callback is not None:
+            try:
+                self.callback(result, error)
+            except Exception:  # noqa: BLE001
+                pass  # a callback must never kill the dispatcher
 
 
 class BatchingService:
@@ -400,11 +441,20 @@ class BatchingService:
         self.max_wait_s = max_wait_ms / 1e3
         self._cv = threading.Condition()
         self._queue: deque[_Pending] = deque()
+        # two-stage sentence requests coalesce separately (different device
+        # program: stage-1 ranking + stage-2 scoring); own dispatcher thread
+        self._sent_queue: deque[_Pending] = deque()
         self._closed = False
         self._thread = threading.Thread(
             target=self._loop, name="ircl-batcher", daemon=True
         )
         self._thread.start()
+        self._sent_thread: Optional[threading.Thread] = None
+        if service.has_sentence_stage:
+            self._sent_thread = threading.Thread(
+                target=self._sent_loop, name="ircl-batcher-sent", daemon=True
+            )
+            self._sent_thread.start()
 
     # -- client side ------------------------------------------------------
     def search(
@@ -458,26 +508,89 @@ class BatchingService:
             self._queue.append(pend)
             self._cv.notify_all()
 
+    def search_sentences(
+        self,
+        queries: Sequence[str],
+        k: Optional[int] = None,
+        k_sents: Optional[int] = None,
+    ) -> List[List[dict]]:
+        """Same contract as `RetrievalService.search_sentences`, but the
+        stage-1 batch and stage-2 scoring pass may be shared with
+        concurrent callers (per-request k/k_sents honored via
+        `search_sentences_multi`)."""
+        pend = self._make_sent_pending(queries, k, k_sents)
+        if pend.result is not None:
+            return pend.result  # oversized: ran inline
+        pend.event.wait()
+        if pend.error is not None:
+            raise pend.error
+        return pend.result
+
+    def submit_sentences(
+        self,
+        queries: Sequence[str],
+        k: Optional[int],
+        k_sents: Optional[int],
+        callback,
+    ) -> None:
+        """Asynchronous `search_sentences` (see `submit`): validation
+        errors raise synchronously; `callback(result, error)` fires on the
+        sentence dispatcher thread."""
+        self._make_sent_pending(queries, k, k_sents, callback=callback)
+
+    def _make_sent_pending(
+        self, queries, k, k_sents, callback=None
+    ) -> _Pending:
+        if not self.service.has_sentence_stage:
+            raise ValueError(
+                "sentence search unavailable: service was built without a "
+                "sentence_scorer/doc_sentences stage"
+            )
+        k = self.service._validate(queries, k)
+        if k_sents is None:
+            k_sents = self.service.default_k_sents
+        pend = _Pending(list(queries), k, k_sents=k_sents, callback=callback)
+        if len(queries) >= self.service.batch_size:
+            # fills device batches on its own — run inline
+            try:
+                pend.finish(
+                    self.service.search_sentences(
+                        queries, k=k, k_sents=k_sents
+                    ),
+                    None,
+                )
+            except BaseException as e:  # noqa: BLE001 - handed to waiter
+                pend.finish(None, e)
+            return pend
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("BatchingService is closed")
+            self._sent_queue.append(pend)
+            self._cv.notify_all()
+        return pend
+
     def close(self) -> None:
-        """Stop the dispatcher after draining queued requests."""
+        """Stop the dispatchers after draining queued requests."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._thread.join(timeout=10)
+        if self._sent_thread is not None:
+            self._sent_thread.join(timeout=10)
 
     # -- dispatcher side ---------------------------------------------------
-    def _take_batch(self) -> List[_Pending]:
-        """Block until work exists, linger up to max_wait_s for co-riders,
-        then pop whole requests up to batch_size query slots."""
+    def _take_batch(self, queue: deque) -> List[_Pending]:
+        """Block until work exists in `queue`, linger up to max_wait_s for
+        co-riders, then pop whole requests up to batch_size query slots."""
         cap = self.service.batch_size
         with self._cv:
-            while not self._queue:
+            while not queue:
                 if self._closed:
                     return []
                 self._cv.wait()
             deadline = time.monotonic() + self.max_wait_s
             while (
-                sum(len(p.queries) for p in self._queue) < cap
+                sum(len(p.queries) for p in queue) < cap
                 and not self._closed
             ):
                 left = deadline - time.monotonic()
@@ -486,18 +599,18 @@ class BatchingService:
                 self._cv.wait(left)
             batch: List[_Pending] = []
             slots = 0
-            while self._queue:
-                nxt = len(self._queue[0].queries)
+            while queue:
+                nxt = len(queue[0].queries)
                 if batch and slots + nxt > cap:
                     break
-                p = self._queue.popleft()
+                p = queue.popleft()
                 batch.append(p)
                 slots += nxt
             return batch
 
     def _loop(self) -> None:
         while True:
-            batch = self._take_batch()
+            batch = self._take_batch(self._queue)
             if not batch:
                 return  # closed and drained
             allq = [q for p in batch for q in p.queries]
@@ -505,31 +618,43 @@ class BatchingService:
                 ranked = self.service._ranked(allq, self.service.k_max)
             except BaseException as e:  # propagate to every waiter
                 for p in batch:
-                    p.error = e
-                    p.event.set()
-                    if p.callback is not None:
-                        try:
-                            p.callback(None, e)
-                        except Exception:  # noqa: BLE001
-                            pass  # a callback must never kill the loop
+                    p.finish(None, e)
                 continue
             lo = 0
             for p in batch:
                 rows = ranked[lo : lo + len(p.queries)]
                 lo += len(p.queries)
-                p.result = [
+                p.finish(
                     [
-                        {"doc_id": d, "score": float(s)}
-                        for d, s in zip(ids[: p.k], scores[: p.k])
-                    ]
-                    for ids, scores in rows
-                ]
-                p.event.set()
-                if p.callback is not None:
-                    try:
-                        p.callback(p.result, None)
-                    except Exception:  # noqa: BLE001
-                        pass  # a callback must never kill the loop
+                        [
+                            {"doc_id": d, "score": float(s)}
+                            for d, s in zip(ids[: p.k], scores[: p.k])
+                        ]
+                        for ids, scores in rows
+                    ],
+                    None,
+                )
+
+    def _sent_loop(self) -> None:
+        while True:
+            batch = self._take_batch(self._sent_queue)
+            if not batch:
+                return  # closed and drained
+            allq, ks, ksents = [], [], []
+            for p in batch:
+                allq.extend(p.queries)
+                ks.extend([p.k] * len(p.queries))
+                ksents.extend([p.k_sents] * len(p.queries))
+            try:
+                rows = self.service.search_sentences_multi(allq, ks, ksents)
+            except BaseException as e:  # propagate to every waiter
+                for p in batch:
+                    p.finish(None, e)
+                continue
+            lo = 0
+            for p in batch:
+                p.finish(rows[lo : lo + len(p.queries)], None)
+                lo += len(p.queries)
 
 
 def make_service(
@@ -603,8 +728,9 @@ def make_service(
 def _handle(service: RetrievalService, req, batcher=None, expect=None) -> dict:
     """Shared request execution for both transports (already-decoded JSON
     in, reply payload out; raises ValueError on any malformed request).
-    Doc-search requests ride the micro-batcher when one is configured;
-    sentence/verdict requests (later stages are per-request work) do not.
+    Doc-search AND two-stage sentence requests ride the micro-batcher when
+    one is configured; verdict requests (classifier batches are pinned
+    B-slot dispatches already) do not.
     ``expect="claims"`` (the HTTP /verdict path) forces the verdict shape;
     otherwise a "claims"/"claim" key selects it (the stdin transport)."""
     t0 = time.monotonic()
@@ -621,10 +747,13 @@ def _handle(service: RetrievalService, req, batcher=None, expect=None) -> dict:
         else:
             queries, k, k_sents = parse_request(req)
             if req.get("sentences") or k_sents is not None:
+                two_stage = (
+                    batcher.search_sentences
+                    if batcher is not None and service.has_sentence_stage
+                    else service.search_sentences
+                )
                 payload = {
-                    "results": service.search_sentences(
-                        queries, k=k, k_sents=k_sents
-                    )
+                    "results": two_stage(queries, k=k, k_sents=k_sents)
                 }
             elif batcher is not None:
                 payload = {"results": batcher.search(queries, k=k)}

@@ -182,8 +182,9 @@ class NativeHTTPServer:
             queries, k, k_sents = parse_request(req)
         except (KeyError, ValueError, TypeError):
             return False
-        if req.get("sentences") or k_sents is not None:
-            return False  # later stages do per-request work: sync route
+        sentences = bool(req.get("sentences")) or k_sents is not None
+        if sentences and not self.service.has_sentence_stage:
+            return False  # sync route replies 400 with the shared message
         t0 = time.monotonic()
         metrics = self.service.metrics
 
@@ -196,7 +197,10 @@ class NativeHTTPServer:
             self._respond(rid, 200, {"results": result})
 
         try:
-            self.batcher.submit(queries, k, done)
+            if sentences:
+                self.batcher.submit_sentences(queries, k, k_sents, done)
+            else:
+                self.batcher.submit(queries, k, done)
         except (ValueError, RuntimeError):
             return False  # validation error: sync route replies 400
         return True

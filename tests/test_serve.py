@@ -507,6 +507,114 @@ def test_batcher_submit_coalesces_without_blocking_callers(ranker):
     assert used <= n // 2, f"submits did not coalesce: {used} for {n}"
 
 
+def test_batcher_sentence_requests_coalesce(ranker):
+    """Concurrent two-stage requests with DIFFERENT k/k_sents share one
+    stage-1 batch + one stage-2 pass, and every reply is identical to a
+    direct `search_sentences` call with that request's own parameters."""
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
+    from ircl_tpu.serve import BatchingService
+
+    svc = RetrievalService(
+        ranker,
+        batch_size=8,
+        default_k=3,
+        doc_sentences=_sentences(),
+        sentence_scorer=host_sparse_scorer(),
+        default_k_sents=2,
+    )
+    svc.warmup()
+    base = svc.metrics.device_batches
+    batcher = BatchingService(svc, max_wait_ms=100.0)
+    params = [
+        (QUERIES[0], 3, 2),
+        (QUERIES[1], 2, 1),
+        (QUERIES[2], 1, 2),
+        (QUERIES[0], 2, None),  # default k_sents
+    ]
+    results = [None] * len(params)
+    start = threading.Barrier(len(params))
+
+    def client(i):
+        q, k, ks = params[i]
+        start.wait()
+        results[i] = batcher.search_sentences([q], k=k, k_sents=ks)
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(len(params))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    batcher.close()
+    used = svc.metrics.device_batches - base  # before the direct re-checks
+    for i, (q, k, ks) in enumerate(params):
+        assert results[i] is not None, f"client {i} never completed"
+        direct = svc.search_sentences([q], k=k, k_sents=ks)
+        assert results[i] == direct, (i, results[i], direct)
+    assert used < len(params), f"no sentence coalescing ({used} dispatches)"
+
+
+def test_batcher_sentence_errors(ranker):
+    """No sentence stage -> synchronous ValueError (shared message);
+    submit_sentences validation errors also raise in the caller."""
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
+    from ircl_tpu.serve import BatchingService
+
+    bare = BatchingService(
+        RetrievalService(ranker, batch_size=4, default_k=3), max_wait_ms=2.0
+    )
+    try:
+        with pytest.raises(ValueError, match="sentence search unavailable"):
+            bare.search_sentences([QUERIES[0]])
+    finally:
+        bare.close()
+
+    svc = RetrievalService(
+        ranker,
+        batch_size=4,
+        default_k=3,
+        doc_sentences=_sentences(),
+        sentence_scorer=host_sparse_scorer(),
+    )
+    batcher = BatchingService(svc, max_wait_ms=2.0)
+    try:
+        with pytest.raises(ValueError):
+            batcher.submit_sentences([QUERIES[0]], 0, 2, lambda r, e: None)
+    finally:
+        batcher.close()
+
+
+def test_http_sentence_requests_ride_the_batcher(ranker):
+    """serve_http with micro-batching routes two-stage requests through
+    the batcher (same replies as direct)."""
+    from ircl_tpu.pipeline.retrieve import host_sparse_scorer
+
+    svc = RetrievalService(
+        ranker,
+        batch_size=4,
+        default_k=3,
+        doc_sentences=_sentences(),
+        sentence_scorer=host_sparse_scorer(),
+        default_k_sents=2,
+    )
+    server = serve_http(svc, host="127.0.0.1", port=0, batch_wait_ms=2.0)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        req = urllib.request.Request(
+            f"{base}/search",
+            data=json.dumps({"queries": QUERIES[:1], "k_sents": 2}).encode(),
+        )
+        with urllib.request.urlopen(req) as r:
+            results = json.loads(r.read())["results"]
+        direct = svc.search_sentences(QUERIES[:1], k_sents=2)
+        assert results == json.loads(json.dumps(direct))
+    finally:
+        server.shutdown()
+        server.batcher.close()
+
+
 def test_batcher_respects_per_request_k(ranker):
     from ircl_tpu.serve import BatchingService
 
