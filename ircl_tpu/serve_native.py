@@ -153,15 +153,17 @@ class NativeHTTPServer:
             return 400, {"error": str(e)}
         return 200, payload
 
-    def _respond(self, rid: int, status: int, payload: dict) -> None:
+    def _respond(
+        self, rid: int, status: int, payload: dict, close: bool = False
+    ) -> None:
         h = self._handle_ptr
         if h is None:  # server already stopped (close() drains first)
             return
         reply = json.dumps(payload).encode()
-        self._lib.ih_respond(h, rid, status, reply, len(reply), 0)
+        self._lib.ih_respond(h, rid, status, reply, len(reply), int(close))
 
     def _try_submit_async(self, rid: int, method: str, path: str,
-                          body: bytes) -> bool:
+                          body: bytes, close: bool) -> bool:
         """Plain doc-search with a batcher: enqueue WITHOUT blocking this
         worker (`BatchingService.submit`); the dispatcher thread answers
         through `ih_respond` (thread-safe, non-blocking). A blocking
@@ -191,10 +193,10 @@ class NativeHTTPServer:
         def done(result, error):
             if error is not None:
                 metrics.record_error()
-                self._respond(rid, 500, {"error": str(error)})
+                self._respond(rid, 500, {"error": str(error)}, close=close)
                 return
             metrics.record_request(len(queries), time.monotonic() - t0)
-            self._respond(rid, 200, {"results": result})
+            self._respond(rid, 200, {"results": result}, close=close)
 
         try:
             if sentences:
@@ -221,16 +223,18 @@ class NativeHTTPServer:
             if rid < 0:
                 return  # server stopped
             try:
-                method, _, path = meta.value.decode().partition(" ")
+                parts = meta.value.decode().split(" ")
+                method, path = parts[0], parts[1] if len(parts) > 1 else ""
+                close = len(parts) > 2 and parts[2] == "close"
                 body = ctypes.string_at(body_ptr, body_len.value)
-                if self._try_submit_async(rid, method, path, body):
+                if self._try_submit_async(rid, method, path, body, close):
                     continue  # dispatcher thread will respond
                 try:
                     status, payload = self._route(method, path, body)
                 except Exception as e:  # routing must never kill a worker
                     self.service.metrics.record_error()
                     status, payload = 500, {"error": f"internal: {e}"}
-                self._respond(rid, status, payload)
+                self._respond(rid, status, payload, close=close)
             except Exception:
                 # last resort: free the request slot so the connection
                 # is not wedged forever

@@ -60,6 +60,7 @@ struct Request {
   long long id;
   int fd;
   uint64_t gen;  // connection generation: detects fd reuse after close
+  bool client_close;  // request carried "Connection: close"
   std::string method;
   std::string path;
   std::string body;
@@ -242,6 +243,7 @@ struct Server {
       auto req = std::make_unique<Request>();
       req->fd = fd;
       req->gen = c.gen;
+      req->client_close = client_close;
       req->method = std::move(method);
       req->path = std::move(path);
       req->body = c.in.substr(body_start, content_length);
@@ -428,7 +430,9 @@ long long ih_next(void* h, int timeout_ms, char* meta, int meta_cap,
   s->req_queue.pop_front();
   Request* r = req.get();
   s->inflight.emplace(r->id, std::move(req));
-  std::string m = r->method + " " + r->path;
+  // Third token tells Python to echo "Connection: close" in the reply
+  // (the conn is torn down after the write either way).
+  std::string m = r->method + " " + r->path + (r->client_close ? " close" : "");
   snprintf(meta, (size_t)meta_cap, "%s", m.c_str());
   *body = r->body.data();
   *body_len = (long long)r->body.size();

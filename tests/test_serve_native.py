@@ -158,6 +158,83 @@ def test_keep_alive_reuses_connection(native_server, ranker):
     assert svc.metrics.snapshot()["requests"] == 5
 
 
+def test_protocol_robustness_raw_socket(native_server):
+    """Adversarial bytes against the C++ parser: requests split into
+    arbitrary chunks must parse identically (incremental buffering); two
+    pipelined requests in one send both answer in order; header names are
+    case-insensitive; 'Connection: close' is honored; a garbage request
+    line gets 400 and a closed connection — all without wedging the
+    server."""
+    import socket
+    import time as _time
+
+    server, _ = native_server
+    body = json.dumps({"query": "rocket launched apollo to the moon"}).encode()
+
+    def raw(data: bytes, chunks=1, expect_n=1, timeout=15.0):
+        s = socket.create_connection(("127.0.0.1", server.port), timeout=timeout)
+        try:
+            step = max(1, len(data) // chunks)
+            for lo in range(0, len(data), step):
+                s.sendall(data[lo : lo + step])
+                _time.sleep(0.002)
+            s.settimeout(timeout)
+            buf = b""
+            # read until expect_n complete responses (Content-Length framed)
+            while buf.count(b"HTTP/1.1 ") < expect_n or not _complete(
+                buf, expect_n
+            ):
+                got = s.recv(65536)
+                if not got:
+                    break
+                buf += got
+            return buf
+        finally:
+            s.close()
+
+    def _complete(buf: bytes, n: int) -> bool:
+        seen = 0
+        while b"\r\n\r\n" in buf:
+            head, _, rest = buf.partition(b"\r\n\r\n")
+            cl = 0
+            for ln in head.split(b"\r\n"):
+                if ln.lower().startswith(b"content-length:"):
+                    cl = int(ln.split(b":")[1])
+            if len(rest) < cl:
+                return False
+            seen += 1
+            buf = rest[cl:]
+        return seen >= n
+
+    req = (
+        b"POST /search HTTP/1.1\r\nHost: x\r\ncOnTeNt-LeNgTh: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+    # byte-dribbled request parses identically
+    resp = raw(req, chunks=len(req) // 3)
+    assert b"HTTP/1.1 200" in resp and b"Saturn_V" in resp
+
+    # two pipelined requests in one send: both answered, in order
+    resp = raw(req + req, chunks=1, expect_n=2)
+    assert resp.count(b"HTTP/1.1 200") == 2
+
+    # Connection: close honored (server closes after the reply)
+    req_close = (
+        b"POST /search HTTP/1.1\r\nHost: x\r\nConnection: close\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+    )
+    resp = raw(req_close)
+    assert b"Connection: close" in resp
+
+    # garbage request line -> 400, connection closed, server still alive
+    resp = raw(b"NONSENSE\r\n\r\n")
+    assert b"HTTP/1.1 400" in resp
+    resp = raw(req)
+    assert b"HTTP/1.1 200" in resp  # server survived
+
+
 def test_concurrent_clients(ranker):
     svc = RetrievalService(ranker, batch_size=4, default_k=3)
     server = serve_native_http(svc, port=0, batch_wait_ms=2.0, workers=2)
