@@ -41,7 +41,14 @@ def main_e2e(args):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
+    if "PYTEST_CURRENT_TEST" not in os.environ:
+        # Persistent cache only for real bench runs. Under pytest this
+        # would silently switch the WHOLE test process onto the shared
+        # /tmp cache for every later test — and one truncated entry (a
+        # bench killed mid-write) then SIGABRTs an unrelated test's
+        # deserialization. Round 5 lost a day's suite runs to exactly
+        # that (deterministic abort in test_pp, green standalone).
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
 
     from ircl_tpu.contrastive.state import TrainConfig
     from ircl_tpu.contrastive.trainer import ContrastiveTrainer
@@ -116,7 +123,9 @@ def main(args=None):
 
     if args is not None and args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
+    if "PYTEST_CURRENT_TEST" not in os.environ:
+        # see main_e2e: never leak the shared persistent cache into pytest
+        jax.config.update("jax_compilation_cache_dir", "/tmp/ircl_jax_cache")
 
     from ircl_tpu.contrastive.state import TrainConfig, init_train_state
     from ircl_tpu.contrastive.train import make_train_step
