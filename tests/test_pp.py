@@ -384,6 +384,53 @@ def test_pp_ep_dp_moe_train_matches_single_device():
             )
 
 
+def test_pp_ep_tp_moe_train_matches_single_device():
+    """Full 4-axis training mesh PP(2) x EP(2) x TP(2) (data axis present,
+    size 1): Megatron TP over "model" inside each stage, experts sharded
+    over "expert", GPipe over "stage" — losses (CE + aux) and final params
+    must match single-device, leaf for leaf. This is the standard pod
+    layout for a model of this shape; the forward-only variant is
+    test_pp_ep_tp_moe_forward_matches_single_device."""
+    from ircl_tpu.parallel.tp import shard_batch
+
+    step_ref, tx_ref = make_verdict_train_step(MOE_VCFG)
+    params0 = init_verdict_params(jax.random.PRNGKey(29), MOE_VCFG)
+    batches = [_batch(s + 150, B=8) for s in range(3)]
+
+    p_ref = jax.tree.map(jnp.array, params0)
+    o_ref = tx_ref.init(p_ref)
+    losses_ref = []
+    for i, (ids, mask, types, labels) in enumerate(batches):
+        p_ref, o_ref, loss, _ = step_ref(
+            p_ref, o_ref, jnp.asarray(i), ids, mask, types, labels
+        )
+        losses_ref.append(float(loss))
+
+    S, M = 2, 4
+    mesh = make_pp_mesh(S, expert=2, model=2)
+    assert mesh.axis_names == ("data", "stage", "expert", "model")
+    step_pp, tx_pp = make_pp_verdict_train_step(MOE_VCFG, mesh, n_micro=M)
+    pp0 = pp_verdict_params(jax.tree.map(jnp.array, params0), S)
+    specs = pp_verdict_specs(pp0, mesh)
+    p_pp = shard_tree(pp0, specs, mesh)
+    o_pp = init_sharded_opt_state(tx_pp, p_pp, mesh, specs)
+    losses_pp = []
+    for i, (ids, mask, types, labels) in enumerate(batches):
+        ids, mask, types, labels = shard_batch(mesh, ids, mask, types, labels)
+        p_pp, o_pp, loss, _ = step_pp(
+            p_pp, o_pp, jnp.asarray(i), ids, mask, types, labels
+        )
+        losses_pp.append(float(loss))
+
+    np.testing.assert_allclose(losses_pp, losses_ref, rtol=2e-5, atol=2e-6)
+    got_layers = unstack_layer_params(p_pp["stages"])
+    for got, ref in zip(got_layers, p_ref["body"]["layers"]):
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-6
+            )
+
+
 def test_pp_ep_tp_moe_forward_matches_single_device():
     """4-axis PP(2) x EP(2) x TP(2) forward over MoE blocks: attention TP
     over "model", experts over "expert", stages over "stage" — hidden
