@@ -332,6 +332,36 @@ def build_staged_service(num_docs: int):
     return svc, [c.claim for c in wiki.claims]
 
 
+def bench_two_stage_batched(svc, claims, clients_list, duration_s):
+    """Cross-request sentence-stage batching (BatchingService sentence
+    queue): concurrent 1-query two-stage clients share one stage-1 batch +
+    one stage-2 scoring pass. The direct arm is the pre-batching baseline
+    (requests serialize on the service lock)."""
+    from ircl_tpu.serve import BatchingService
+
+    before = svc.metrics.snapshot()
+    res = run_clients(
+        lambda qs: svc.search_sentences(qs), clients_list[0], duration_s,
+        claims,
+    )
+    res.update(_dispatch_delta(svc, before, res["requests"]))
+    emit(f"two_stage_direct_c{clients_list[0]}", **res)
+    log(f"two-stage direct c={clients_list[0]}: {res}")
+    batcher = BatchingService(svc, max_wait_ms=5.0)
+    try:
+        for c in clients_list:
+            before = svc.metrics.snapshot()
+            res = run_clients(
+                lambda qs: batcher.search_sentences(qs), c, duration_s,
+                claims,
+            )
+            res.update(_dispatch_delta(svc, before, res["requests"]))
+            emit(f"two_stage_batched_c{c}", **res)
+            log(f"two-stage batched c={c}: {res}")
+    finally:
+        batcher.close()
+
+
 def bench_stages(svc, claims, n_reqs: int):
     """Per-request p50/p95 of the staged endpoints, single closed-loop
     client (later stages do per-request device work; concurrency would
@@ -395,6 +425,9 @@ def main():
     if not args.skip_stages:
         staged, claims = build_staged_service(args.staged_docs)
         bench_stages(staged, claims, args.stage_requests)
+        bench_two_stage_batched(
+            staged, claims, args.clients[-2:], args.duration
+        )
 
 
 if __name__ == "__main__":
