@@ -769,6 +769,11 @@ def _handle(service: RetrievalService, req, batcher=None, expect=None) -> dict:
 class _Handler(BaseHTTPRequestHandler):
     service: RetrievalService = None  # set by serve_http
     batcher: Optional[BatchingService] = None  # set by serve_http
+    # HTTP/1.1: keep-alive per connection (every reply carries
+    # Content-Length, which 1.1 requires). Under the default HTTP/1.0 a
+    # ThreadingHTTPServer pays thread spawn + TCP teardown per REQUEST;
+    # with 1.1 the per-connection thread serves the whole session.
+    protocol_version = "HTTP/1.1"
 
     def _reply(self, code: int, payload: dict) -> None:
         body = json.dumps(payload).encode()
